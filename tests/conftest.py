@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on XLA's host-platform virtual devices (the standard JAX pattern
+for multi-device unit tests). TPU perf is bench.py's job.
+
+NOTE: this environment preloads jax with a TPU backend via sitecustomize and
+pins JAX_PLATFORMS=axon, so plain env-var overrides are too late — we must
+flip the platform through jax.config before the first backend use.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
