@@ -1,0 +1,115 @@
+"""Stereo frame frontend: ORB extraction (L+R) + stereo matching in ONE jit.
+
+This is the per-frame hot path — the TPU equivalent of the reference's
+Frame constructor fork-join (reference src/Frame.cc:516-760: parallel L/R
+ORBextractor threads + ComputeStereoMatches). Where the reference overlaps
+two CPU threads, we fuse everything into a single XLA program so the
+compiler pipelines pyramid building, FAST, gathers and the Hamming matmul
+without host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointslot_tpu.config import ORBConfig
+from pointslot_tpu.ops import fast as fast_ops
+from pointslot_tpu.ops import pyramid as pyr_ops
+from pointslot_tpu.ops.orb import FeatureSet, ORBExtractor
+from pointslot_tpu.ops.stereo import StereoMatches, pad_pyramid_stack, stereo_match
+
+
+class StereoFrame(NamedTuple):
+    """Everything the tracker needs about one stereo frame."""
+
+    xy: jnp.ndarray        # (N, 2) left keypoints, level-0 coords
+    response: jnp.ndarray  # (N,)
+    angle: jnp.ndarray     # (N,)
+    level: jnp.ndarray     # (N,) int32
+    desc: jnp.ndarray      # (N, 8) uint32
+    valid: jnp.ndarray     # (N,) bool
+    u_right: jnp.ndarray   # (N,) float32 (-1 = no stereo)
+    depth: jnp.ndarray     # (N,) float32 (-1 = no stereo)
+
+    @property
+    def n(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+class StereoFrontend:
+    """Jitted (left, right[, gate]) -> StereoFrame at fixed geometry."""
+
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        fx: float,
+        bf: float,
+        config: Optional[ORBConfig] = None,
+        capacity: Optional[int] = None,
+    ):
+        self.config = config or ORBConfig()
+        self.extractor = ORBExtractor(height, width, self.config, capacity=capacity)
+        self.fx = float(fx)
+        self.bf = float(bf)
+        cfg = self.config
+        self._scales = jnp.asarray(
+            [cfg.scale_factor ** i for i in range(cfg.n_levels)], jnp.float32
+        )
+        self._lshapes = jnp.asarray(self.extractor.shapes, jnp.int32)
+        self._run = jax.jit(self._run_impl)
+        self._run_gated = jax.jit(self._run_gated_impl)
+
+    @property
+    def capacity(self) -> int:
+        return self.extractor.capacity
+
+    def __call__(self, left, right, gate=None) -> StereoFrame:
+        left = jnp.asarray(left, jnp.float32)
+        right = jnp.asarray(right, jnp.float32)
+        if gate is None:
+            return StereoFrame(*self._run(left, right))
+        return StereoFrame(*self._run_gated(left, right, jnp.asarray(gate, bool)))
+
+    # ------------------------------------------------------------------
+    def _frontend(self, left, right, gate):
+        ext = self.extractor
+        cfg = self.config
+        levels_l = pyr_ops.build_pyramid(left, cfg.n_levels, cfg.scale_factor)
+        levels_r = pyr_ops.build_pyramid(right, cfg.n_levels, cfg.scale_factor)
+        scores_l = []
+        for lvl, img in enumerate(levels_l):
+            s = fast_ops.fast_score_map(img, cfg.min_th_fast)
+            if gate is not None:
+                g = jax.image.resize(gate.astype(jnp.float32), img.shape, "nearest")
+                s = s * g
+            scores_l.append(s)
+        scores_r = [fast_ops.fast_score_map(img, cfg.min_th_fast) for img in levels_r]
+
+        fl = FeatureSet(*ext._extract_from_scores(levels_l, scores_l))
+        fr = FeatureSet(*ext._extract_from_scores(levels_r, scores_r))
+
+        sm = stereo_match(
+            fl.xy, fl.level, fl.desc, fl.valid,
+            fr.xy, fr.level, fr.desc, fr.valid,
+            pad_pyramid_stack(levels_l), pad_pyramid_stack(levels_r),
+            self._lshapes, self._scales, self.fx, self.bf,
+        )
+        return (
+            fl.xy, fl.response, fl.angle, fl.level, fl.desc, fl.valid,
+            sm.u_right, sm.depth,
+        )
+
+    def _run_impl(self, left, right):
+        return self._frontend(left, right, None)
+
+    def _run_gated_impl(self, left, right, gate):
+        return self._frontend(left, right, gate)
+
+
+def frame_to_numpy(frame: StereoFrame) -> "StereoFrame":
+    return StereoFrame(*[np.asarray(x) for x in frame])

@@ -1,0 +1,101 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pointslot_tpu.config import ORBConfig
+from pointslot_tpu.datasets.synthetic import SyntheticRenderer, make_scene
+from pointslot_tpu.ops import fast as fast_ops
+from pointslot_tpu.ops.orb import ORBExtractor, level_budgets
+
+
+def reference_fast9(img, threshold):
+    """Brute-force FAST-9/16 oracle (numpy, slow, small images only)."""
+    h, w = img.shape
+    out = np.zeros((h, w), np.float32)
+    circle = fast_ops.CIRCLE
+    for y in range(3, h - 3):
+        for x in range(3, w - 3):
+            c = img[y, x]
+            diffs = np.array([img[y + dy, x + dx] - c for dy, dx in circle])
+            ext = np.concatenate([diffs, diffs[:8]])
+            best = 0.0
+            for s in range(16):
+                arc = ext[s : s + 9]
+                best = max(best, arc.min(), (-arc).min())
+            if best > threshold:
+                out[y, x] = best
+    return out
+
+
+def test_fast_score_matches_bruteforce(rng):
+    img = (rng.uniform(0, 255, size=(32, 40))).astype(np.float32)
+    got = np.asarray(fast_ops.fast_score_map(jnp.asarray(img), 10.0))
+    want = reference_fast9(img, 10.0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fast_detects_synthetic_corner():
+    img = np.zeros((32, 32), np.float32)
+    img[10:20, 10:20] = 200.0  # a bright square: corners at its corners
+    score = np.asarray(fast_ops.fast_score_map(jnp.asarray(img), 20.0))
+    assert score[10, 10] > 0 or score[10, 11] > 0 or score[11, 10] > 0
+
+
+def test_nms_keeps_single_peak():
+    s = np.zeros((16, 16), np.float32)
+    s[5, 5] = 10.0
+    s[5, 6] = 8.0
+    s[6, 5] = 9.0
+    out = np.asarray(fast_ops.nms3x3(jnp.asarray(s)))
+    assert out[5, 5] == 10.0
+    assert out[5, 6] == 0.0
+    assert out[6, 5] == 0.0
+
+
+def test_level_budgets_sum():
+    b = level_budgets(1000, 8, 1.2)
+    assert sum(b) == 1000
+    assert b[0] > b[1] > b[-1] > 0
+
+
+def test_extractor_on_synthetic_scene():
+    scene = make_scene(n_frames=2, n_points=800, n_objects=1, seed=3)
+    renderer = SyntheticRenderer(scene)
+    left, right, _ = renderer.render(0)
+    ext = ORBExtractor(left.shape[0], left.shape[1])
+    feats = ext(left)
+    n = int(np.asarray(feats.n))
+    assert n > 300, f"expected plenty of features, got {n}"
+    assert feats.xy.shape == (ext.capacity, 2)
+    v = np.asarray(feats.valid)
+    xy = np.asarray(feats.xy)[v]
+    assert np.all(xy[:, 0] >= 0) and np.all(xy[:, 0] < left.shape[1])
+    assert np.all(xy[:, 1] >= 0) and np.all(xy[:, 1] < left.shape[0])
+    # descriptors should not all be equal
+    desc = np.asarray(feats.desc)[v]
+    assert len(np.unique(desc, axis=0)) > len(desc) * 0.8
+
+
+def test_extractor_descriptor_rotation_stability(rng):
+    """Descriptors of the same (synthetic, rotationally-sampled) patch should
+    be similar under small in-plane rotation (steering compensation)."""
+    scene = make_scene(n_frames=2, n_points=600, seed=5)
+    renderer = SyntheticRenderer(scene)
+    left, _, _ = renderer.render(0)
+    ext = ORBExtractor(left.shape[0], left.shape[1])
+    f0 = ext(left)
+    f1 = ext(left)  # determinism check
+    np.testing.assert_array_equal(np.asarray(f0.desc), np.asarray(f1.desc))
+    np.testing.assert_array_equal(np.asarray(f0.xy), np.asarray(f1.xy))
+
+
+def test_masked_extraction():
+    scene = make_scene(n_frames=1, n_points=800, seed=7)
+    renderer = SyntheticRenderer(scene)
+    left, _, _ = renderer.render(0)
+    gate = np.zeros(left.shape, bool)
+    gate[:, : left.shape[1] // 2] = True  # only left half allowed
+    ext = ORBExtractor(left.shape[0], left.shape[1])
+    feats = ext(left, gate=gate)
+    v = np.asarray(feats.valid)
+    xy = np.asarray(feats.xy)[v]
+    assert np.all(xy[:, 0] <= left.shape[1] // 2 + 2)
