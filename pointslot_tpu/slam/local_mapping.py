@@ -1,0 +1,241 @@
+"""Camera local mapping: culling, neighbor fusion, windowed Schur BA.
+
+Replaces the reference's LocalMapping thread body
+(reference src/LocalMapping.cc:169-263): ProcessNewKeyFrame (:286),
+MapPointCulling (:352), CreateNewMapPoints (:414) — in stereo our close
+points come from direct unprojection at keyframe creation; multi-view
+triangulation adds the far tail — SearchInNeighbors fuse (:711),
+LocalBundleAdjustment (:219) and KeyFrameCulling at 90% redundancy (:900).
+
+Runs synchronously per keyframe by default (the reference's async-thread
+pipeline is reproduced at the System level with a deferred queue when
+runtime.async_mapping is set).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointslot_tpu.config import SystemConfig
+from pointslot_tpu.slam import matchers
+from pointslot_tpu.slam.map_state import MapState
+from pointslot_tpu.solvers import local_ba
+
+
+@dataclass
+class RecentPoint:
+    pt: int
+    created_kf: int
+
+
+class LocalMapper:
+    def __init__(self, config: SystemConfig, map_state: MapState):
+        self.cfg = config
+        self.map = map_state
+        self.recent_points: List[RecentPoint] = []
+        self._kf_counter = 0
+        cam = config.camera
+        self._cam_args = dict(
+            fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+            bf=float(cam.bf),
+        )
+        self._scales = np.asarray(
+            [config.orb.scale_factor ** i for i in range(config.orb.n_levels)],
+            np.float32,
+        )
+        self.ba_calls = 0
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf: int):
+        self._kf_counter += 1
+        m = self.map
+        new_pts = np.nonzero(m.pt_first_kf == kf)[0]
+        for p in new_pts:
+            self.recent_points.append(RecentPoint(pt=int(p), created_kf=self._kf_counter))
+
+        self._cull_points()
+        self._fuse_neighbors(kf)
+        if m.n_keyframes() > 2:
+            self._local_ba(kf)
+        self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+    def _cull_points(self):
+        """MapPointCulling rules: found/visible < 0.25, or too few
+        observations a couple of keyframes after creation."""
+        m = self.map
+        keep: List[RecentPoint] = []
+        to_cull = []
+        obs_count = m.point_obs_count()
+        for rp in self.recent_points:
+            if not m.pt_valid[rp.pt]:
+                continue
+            age = self._kf_counter - rp.created_kf
+            ratio = m.pt_found[rp.pt] / max(m.pt_visible[rp.pt], 1)
+            if ratio < 0.25:
+                to_cull.append(rp.pt)
+            elif age >= 2 and obs_count[rp.pt] <= 2:
+                to_cull.append(rp.pt)
+            elif age >= 3:
+                continue  # graduates out of the probation window
+            else:
+                keep.append(rp)
+        self.recent_points = keep
+        if to_cull:
+            m.unbind_point(np.asarray(to_cull))
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, kf: int):
+        """Project covisible keyframes' points into kf and bind unmatched
+        features (one-direction fuse; duplicate resolution via existing
+        bindings)."""
+        m = self.map
+        neighbors = m.covisible_keyframes(kf, min_weight=15, max_n=10)
+        if len(neighbors) == 0:
+            return
+        cand = m.points_of_keyframes(neighbors)
+        already = m.kf_point_idx[kf]
+        cand = cand[~np.isin(cand, already[already >= 0])]
+        if len(cand) == 0:
+            return
+        T = m.kf_pose[kf]
+        cam_center = -T[:3, :3].T @ T[:3, 3]
+        dists = np.linalg.norm(m.pt_pos[cand] - cam_center, axis=1)
+        pred_level = m.predict_scale(dists, cand)
+        res = matchers.project_and_match(
+            jnp.asarray(m.pt_pos[cand], jnp.float32),
+            jnp.asarray(m.pt_desc[cand]),
+            jnp.asarray(m.pt_valid[cand]),
+            jnp.asarray(T, jnp.float32),
+            jnp.asarray(m.kf_xy[kf]), jnp.asarray(m.kf_level[kf]),
+            jnp.asarray(m.kf_desc[kf]),
+            jnp.asarray(m.kf_feat_valid[kf] & (m.kf_point_idx[kf] < 0)),
+            jnp.full((len(cand),), 3.0, jnp.float32),
+            jnp.asarray(self._scales),
+            jnp.asarray(pred_level, jnp.int32),
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            th_desc=matchers.TH_LOW,
+            **self._cam_args,
+        )
+        pf = np.asarray(res.point_for_feature)
+        feats = np.nonzero(pf >= 0)[0]
+        if len(feats):
+            m.bind(kf, feats, cand[pf[feats]])
+            m.update_point_stats(cand[pf[feats]])
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, kf: int):
+        m = self.map
+        ba_cfg = self.cfg.ba
+        P_cap = ba_cfg.max_ba_keyframes
+        L_cap = ba_cfg.max_ba_points
+        E_cap = L_cap * 4
+
+        window = [kf] + list(m.covisible_keyframes(kf, min_weight=15,
+                                                   max_n=P_cap // 2 - 1))
+        pts = m.points_of_keyframes(window)
+        if len(pts) == 0:
+            return
+        # fixed keyframes: observe window points but are not in the window
+        observers = np.nonzero(m.obs[pts].any(axis=0) & m.kf_valid)[0]
+        fixed = [k for k in observers if k not in window][: P_cap - len(window)]
+        kf_list = window + fixed
+        n_fixed_flags = [False] * len(window) + [True] * len(fixed)
+        # always fix the first keyframe of the map (gauge)
+        for i, k in enumerate(kf_list):
+            if m.kf_frame_id[k] == m.kf_frame_id[m.keyframe_ids()].min():
+                n_fixed_flags[i] = True
+        if not any(n_fixed_flags):
+            n_fixed_flags[-1] = True
+
+        kf_row = {k: i for i, k in enumerate(kf_list)}
+        pts = pts[: L_cap]
+        pt_row = np.full(m.max_points, -1, np.int64)
+        pt_row[pts] = np.arange(len(pts))
+
+        # gather edges from the incidence tables
+        e_pose, e_point, e_obs, e_stereo, e_inv2 = [], [], [], [], []
+        for k in kf_list:
+            bound = np.nonzero(m.kf_point_idx[k] >= 0)[0]
+            p_idx = m.kf_point_idx[k, bound]
+            sel = pt_row[p_idx] >= 0
+            bound, p_idx = bound[sel], p_idx[sel]
+            ur = m.kf_uright[k, bound]
+            e_pose.append(np.full(len(bound), kf_row[k]))
+            e_point.append(pt_row[p_idx])
+            e_obs.append(
+                np.stack([m.kf_xy[k, bound, 0], m.kf_xy[k, bound, 1], ur], axis=1)
+            )
+            e_stereo.append(m.kf_depth[k, bound] > 0)
+            e_inv2.append(1.0 / self._scales[m.kf_level[k, bound]] ** 2)
+        e_pose = np.concatenate(e_pose)[:E_cap]
+        e_point = np.concatenate(e_point)[:E_cap]
+        e_obs = np.concatenate(e_obs)[:E_cap]
+        e_stereo = np.concatenate(e_stereo)[:E_cap]
+        e_inv2 = np.concatenate(e_inv2)[:E_cap]
+        E = len(e_pose)
+
+        def pad(a, cap, fill=0):
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        prob = local_ba.BAProblem(
+            poses=jnp.asarray(pad(m.kf_pose[kf_list], P_cap), jnp.float32),
+            pose_fixed=jnp.asarray(pad(np.asarray(n_fixed_flags), P_cap, True)),
+            pose_valid=jnp.asarray(pad(np.ones(len(kf_list), bool), P_cap, False)),
+            dof_mask=jnp.ones((P_cap, 6), jnp.float32),
+            points=jnp.asarray(pad(m.pt_pos[pts].astype(np.float32), L_cap)),
+            point_valid=jnp.asarray(pad(np.ones(len(pts), bool), L_cap, False)),
+            e_pose=jnp.asarray(pad(e_pose.astype(np.int32), E_cap)),
+            e_point=jnp.asarray(pad(e_point.astype(np.int32), E_cap)),
+            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E_cap)),
+            e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
+            e_inv_sigma2=jnp.asarray(pad(e_inv2.astype(np.float32), E_cap)),
+            e_valid=jnp.asarray(pad(np.ones(E, bool), E_cap, False)),
+        )
+        result = local_ba.bundle_adjust(prob, **self._cam_args)
+        self.ba_calls += 1
+
+        # write back
+        new_poses = np.asarray(result.poses)
+        for i, k in enumerate(kf_list):
+            if not n_fixed_flags[i]:
+                m.kf_pose[k] = new_poses[i]
+        m.pt_pos[pts] = np.asarray(result.points)[: len(pts)].astype(np.float64)
+
+        # drop outlier observations
+        inl = np.asarray(result.edge_inlier)[:E]
+        bad = np.nonzero(~inl)[0]
+        for b in bad:
+            k = kf_list[int(e_pose[b])]
+            p = pts[int(e_point[b])]
+            feats = np.nonzero(m.kf_point_idx[k] == p)[0]
+            if len(feats):
+                m.kf_point_idx[k, feats] = -1
+                m.obs[p, k] = False
+        if len(bad):
+            orphans = pts[~m.obs[pts].any(axis=1)]
+            if len(orphans):
+                m.pt_valid[orphans] = False
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: int):
+        """Remove local keyframes with >= 90% of points seen by >= 3 other
+        keyframes (reference src/LocalMapping.cc:900)."""
+        m = self.map
+        obs_count = m.point_obs_count()
+        for k in m.covisible_keyframes(kf, min_weight=15):
+            if m.kf_frame_id[k] == m.kf_frame_id[m.keyframe_ids()].min():
+                continue
+            bound = m.kf_point_idx[k]
+            p = bound[bound >= 0]
+            if len(p) < 50:
+                continue
+            redundant = (obs_count[p] >= 4).mean()
+            if redundant > 0.9:
+                m.remove_keyframe(k)

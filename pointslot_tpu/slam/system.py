@@ -1,0 +1,122 @@
+"""System facade: the one-object API a user drives.
+
+Replaces the reference's System class (reference src/System.cc:46-141 ctor
+spawning 4 threads, TrackStereo :143, SaveTrajectoryKITTI :346,
+SaveObjectDetectionKITTI :409, Shutdown :225). The thread topology becomes a
+host-side pipeline: the frontend + tracking run inline; mapping work is
+executed per-keyframe (synchronously by default — see
+RuntimeConfig.async_mapping for deferred batching).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from pointslot_tpu.config import SLOTMode, SystemConfig
+from pointslot_tpu.ops.frontend import StereoFrontend
+from pointslot_tpu.slam.local_mapping import LocalMapper
+from pointslot_tpu.slam.map_state import MapState
+from pointslot_tpu.slam.tracking import CameraTracker, FrameRecord, TrackingState
+
+
+class System:
+    def __init__(self, config: Optional[SystemConfig] = None):
+        self.cfg = config or SystemConfig()
+        cam = self.cfg.camera
+        self.frontend = StereoFrontend(
+            cam.height, cam.width, cam.fx, cam.bf, self.cfg.orb
+        )
+        self.map = MapState()
+        self.tracker = CameraTracker(self.cfg, self.map)
+        self.local_mapper = LocalMapper(self.cfg, self.map)
+        self.tracker.new_kf_callback = self._on_new_keyframe
+        self.frame_times = []
+        self.timestamps = []
+        self._object_system = None
+        if self.cfg.slot_mode in (
+            SLOTMode.MANUAL_TRACKING, SLOTMode.AUTONOMOUS_DRIVING, SLOTMode.OFFLINE
+        ):
+            from pointslot_tpu.slam.object_system import ObjectSystem
+
+            self._object_system = ObjectSystem(self.cfg, self)
+
+    # ------------------------------------------------------------------
+    def _on_new_keyframe(self, kf: int):
+        self.local_mapper.process_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    def track_stereo(self, left, right, timestamp: float, frame_id: int,
+                     detections=None, instance_mask=None):
+        """Per-frame entry point (reference System::TrackStereo).
+
+        detections / instance_mask feed the object pipeline in SLOT modes
+        2/3/4; mode 1 uses the mask to suppress dynamic features.
+        """
+        t0 = time.perf_counter()
+        gate = None
+        if self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM and instance_mask is not None:
+            gate = instance_mask == 0
+        elif (
+            self.cfg.slot_mode in (SLOTMode.OFFLINE, SLOTMode.AUTONOMOUS_DRIVING,
+                                   SLOTMode.MANUAL_TRACKING)
+            and instance_mask is not None
+        ):
+            # object pipeline: background features must avoid object regions
+            gate = instance_mask == 0
+
+        sf = self.frontend(left, right, gate=gate)
+        frame = FrameRecord(
+            frame_id=frame_id,
+            xy=np.asarray(sf.xy),
+            level=np.asarray(sf.level),
+            desc=np.asarray(sf.desc),
+            angle=np.asarray(sf.angle),
+            depth=np.asarray(sf.depth),
+            u_right=np.asarray(sf.u_right),
+            valid=np.asarray(sf.valid),
+            point_idx=np.full(sf.xy.shape[0], -1, np.int64),
+        )
+        self.tracker.track(frame)
+        self.timestamps.append(timestamp)
+
+        if self._object_system is not None and frame.T_cw is not None:
+            self._object_system.process_frame(
+                frame, left, right, detections, instance_mask, timestamp
+            )
+
+        self.frame_times.append(time.perf_counter() - t0)
+        return frame
+
+    # ------------------------------------------------------------------
+    @property
+    def tracking_state(self):
+        return self.tracker.state
+
+    def camera_trajectory(self):
+        return self.tracker.camera_trajectory()
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI odometry format: 12 floats per row = top 3 rows of T_wc
+        (reference System::SaveTrajectoryKITTI src/System.cc:346-408)."""
+        from pointslot_tpu.io.writers import write_trajectory_kitti
+
+        write_trajectory_kitti(path, self.camera_trajectory())
+
+    def save_object_detections_kitti(self, out_dir: str):
+        if self._object_system is None:
+            raise RuntimeError("object pipeline inactive in this SLOT mode")
+        from pointslot_tpu.io.writers import write_object_detections_kitti
+
+        write_object_detections_kitti(
+            out_dir, self._object_system.export_detections(), len(self.timestamps)
+        )
+
+    def shutdown(self):
+        med = float(np.median(self.frame_times)) if self.frame_times else 0.0
+        mean = float(np.mean(self.frame_times)) if self.frame_times else 0.0
+        return {"median_track_s": med, "mean_track_s": mean,
+                "n_keyframes": self.map.n_keyframes(),
+                "n_points": self.map.n_points()}
