@@ -63,32 +63,48 @@ class StereoFrontend:
         self._lshapes = jnp.asarray(self.extractor.shapes, jnp.int32)
         self._run = jax.jit(self._run_impl)
         self._run_gated = jax.jit(self._run_gated_impl)
+        self._run_gated_lr = jax.jit(self._run_gated_lr_impl)
 
     @property
     def capacity(self) -> int:
         return self.extractor.capacity
 
-    def __call__(self, left, right, gate=None) -> StereoFrame:
+    def __call__(self, left, right, gate=None, gate_right=None) -> StereoFrame:
+        """gate / gate_right: boolean allowed-region masks for detection.
+        If only `gate` is given the right image is ungated (background use);
+        pass gate_right (e.g. a disparity-dilated object mask) to focus the
+        right-image feature budget for object stereo."""
         left = jnp.asarray(left, jnp.float32)
         right = jnp.asarray(right, jnp.float32)
         if gate is None:
             return StereoFrame(*self._run(left, right))
-        return StereoFrame(*self._run_gated(left, right, jnp.asarray(gate, bool)))
+        if gate_right is None:
+            return StereoFrame(*self._run_gated(left, right, jnp.asarray(gate, bool)))
+        return StereoFrame(
+            *self._run_gated_lr(
+                left, right, jnp.asarray(gate, bool), jnp.asarray(gate_right, bool)
+            )
+        )
 
     # ------------------------------------------------------------------
-    def _frontend(self, left, right, gate):
+    def _frontend(self, left, right, gate, gate_r=None):
         ext = self.extractor
         cfg = self.config
         levels_l = pyr_ops.build_pyramid(left, cfg.n_levels, cfg.scale_factor)
         levels_r = pyr_ops.build_pyramid(right, cfg.n_levels, cfg.scale_factor)
-        scores_l = []
-        for lvl, img in enumerate(levels_l):
-            s = fast_ops.fast_score_map(img, cfg.min_th_fast)
-            if gate is not None:
-                g = jax.image.resize(gate.astype(jnp.float32), img.shape, "nearest")
-                s = s * g
-            scores_l.append(s)
-        scores_r = [fast_ops.fast_score_map(img, cfg.min_th_fast) for img in levels_r]
+
+        def gated_scores(levels, g):
+            out = []
+            for img in levels:
+                s = fast_ops.fast_score_map(img, cfg.min_th_fast)
+                if g is not None:
+                    gg = jax.image.resize(g.astype(jnp.float32), img.shape, "nearest")
+                    s = s * gg
+                out.append(s)
+            return out
+
+        scores_l = gated_scores(levels_l, gate)
+        scores_r = gated_scores(levels_r, gate_r)
 
         fl = FeatureSet(*ext._extract_from_scores(levels_l, scores_l))
         fr = FeatureSet(*ext._extract_from_scores(levels_r, scores_r))
@@ -109,6 +125,22 @@ class StereoFrontend:
 
     def _run_gated_impl(self, left, right, gate):
         return self._frontend(left, right, gate)
+
+    def _run_gated_lr_impl(self, left, right, gate, gate_r):
+        return self._frontend(left, right, gate, gate_r)
+
+
+def dilate_mask_left(mask: "np.ndarray", max_disparity: int = 128) -> "np.ndarray":
+    """Union of the mask shifted left by 0..max_disparity px — where an
+    object can appear in the RIGHT stereo image. Log-step doubling trick."""
+    m = np.asarray(mask) != 0
+    s = 1
+    while s < max_disparity:
+        shifted = np.zeros_like(m)
+        shifted[:, :-s] = m[:, s:]
+        m = m | shifted
+        s *= 2
+    return m
 
 
 def frame_to_numpy(frame: StereoFrame) -> "StereoFrame":

@@ -1,0 +1,573 @@
+"""Per-frame object-SLOT pipeline (modes 2/3/4).
+
+Replaces the object half of the reference Tracking thread plus the
+ObjectLocalMapping thread:
+
+- TrackMapObject association + velocity prediction (reference
+  src/Tracking.cc:1533-1638)
+- InitializeCurrentObjPose / MapObjectInit / MapObjectReInit (:1640-2031)
+- TrackLastFrameObjectPoint -> CFSE3ObjStateOptimization (:2288-2466)
+- TrackObjectLocalMap (:2468-2712)
+- DynamicStaticDiscrimination (:2058-2202) + MapObject::DynamicDetection
+  hysteresis
+- StaticPointRecoveryFromObj (:2204-2254)
+- NeedNewObjectKeyFrame / CreateNewObjectKeyFrame (:2714-2837)
+- ObjectLocalMapping::Run culling + fuse + ObjectLocalBundleAdjustment
+  (reference src/ObjectLocalMapping.cpp, src/Optimizer.cc:755-1075)
+
+TPU design notes: object features come from ONE masked extractor pass over
+the union instance mask (the reference runs a dense OpenCV ORB per object,
+src/Frame.cc:2623-2665); per-object pose solves share the jitted LM kernel
+with fixed 512-edge capacity, with the detection-translation prior
+(info=50*I) of the reference's EdgeTransConstraintFromDetction; object BA
+reuses the Schur engine with roll/pitch frozen via the dof mask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointslot_tpu.config import SystemConfig
+from pointslot_tpu.geometry import se3
+from pointslot_tpu.slam import matchers
+from pointslot_tpu.slam.objects import Detection, ObjectKeyFrameRec, ObjectTrack
+from pointslot_tpu.solvers import local_ba, pose_opt
+
+EDGE_CAP = 512
+F_CAP = 512  # per-detection feature capacity (static shape for the kernels)
+
+
+def _rotation_y_matrix(ry: float) -> np.ndarray:
+    """Rotation about the camera y-axis (vehicle heading in KITTI)."""
+    c, s = np.cos(ry), np.sin(ry)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def heading_y(R: np.ndarray) -> float:
+    return float(np.arctan2(R[0, 2], R[2, 2]))
+
+
+@dataclass
+class ObjectFrameFeatures:
+    """Object-region features of the current frame, with detection labels."""
+
+    xy: np.ndarray
+    level: np.ndarray
+    desc: np.ndarray
+    angle: np.ndarray
+    depth: np.ndarray
+    u_right: np.ndarray
+    valid: np.ndarray
+    det_index: np.ndarray    # (N,) index into the frame's detection list, -1 none
+
+
+class ObjectSystem:
+    def __init__(self, config: SystemConfig, system):
+        self.cfg = config
+        self.system = system
+        self.tracks: Dict[int, ObjectTrack] = {}
+        self.all_tracks: List[ObjectTrack] = []
+        self.finished_tracks: List[ObjectTrack] = []
+        cam = config.camera
+        self._cam_args = dict(
+            fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+            bf=float(cam.bf),
+        )
+        self._scales = np.asarray(
+            [config.orb.scale_factor ** i for i in range(config.orb.n_levels)],
+            np.float32,
+        )
+        self.ba_calls = 0
+
+    # ------------------------------------------------------------------
+    def process_frame(self, frame, left, right, detections, instance_mask, timestamp):
+        if not detections:
+            return
+        dets = [d for d in detections if d.track_id >= 0]
+        if self.cfg.objects.select_tracked_obj_id >= 0:
+            dets = [d for d in dets
+                    if d.track_id == self.cfg.objects.select_tracked_obj_id]
+        if not dets or instance_mask is None:
+            return
+
+        feats = self._extract_object_features(left, right, instance_mask, dets)
+        T_cw = frame.T_cw.astype(np.float64)
+
+        for di, det in enumerate(dets):
+            fsel = np.nonzero(feats.det_index == di)[0]
+            track = self.tracks.get(det.track_id)
+            if track is None or track.n_points() == 0:
+                self._try_init(det, feats, fsel, T_cw, timestamp)
+                continue
+            ok = self._track_object(track, det, feats, fsel, T_cw, timestamp)
+            if not ok:
+                missing_t = timestamp - track.last_seen_time
+                if missing_t > self.cfg.objects.max_missing_dt:
+                    # re-init the object from scratch (MapObjectReInit)
+                    self._reinit(track, det, feats, fsel, T_cw, timestamp)
+
+    # ------------------------------------------------------------------
+    def _extract_object_features(self, left, right, instance_mask, dets):
+        from pointslot_tpu.ops.frontend import dilate_mask_left
+
+        gate = instance_mask > 0
+        gate_r = dilate_mask_left(gate, max_disparity=128)
+        sf = self.system.frontend(left, right, gate=gate, gate_right=gate_r)
+        xy = np.asarray(sf.xy)
+        valid = np.asarray(sf.valid)
+        H, W = instance_mask.shape
+        xi = np.clip(np.round(xy[:, 0]).astype(int), 0, W - 1)
+        yi = np.clip(np.round(xy[:, 1]).astype(int), 0, H - 1)
+        mask_vals = instance_mask[yi, xi]
+        det_index = np.full(len(xy), -1, np.int32)
+        for di, det in enumerate(dets):
+            det_index[(mask_vals == det.mask_value) & valid] = di
+        return ObjectFrameFeatures(
+            xy=xy,
+            level=np.asarray(sf.level),
+            desc=np.asarray(sf.desc),
+            angle=np.asarray(sf.angle),
+            depth=np.asarray(sf.depth),
+            u_right=np.asarray(sf.u_right),
+            valid=valid,
+            det_index=det_index,
+        )
+
+    # ------------------------------------------------------------------
+    def _init_pose_from_detection(self, det: Detection, feats, fsel) -> Optional[np.ndarray]:
+        """InitializeCurrentObjPose: rotation from detection yaw; translation
+        from the trimmed centroid of stereo points (reference
+        src/Tracking.cc:1640-1703) or the detection location."""
+        R = _rotation_y_matrix(det.rotation_y)
+        if self.cfg.objects.set_init_position_by_points:
+            stereo = fsel[feats.depth[fsel] > 0]
+            if len(stereo) >= 3:
+                z = feats.depth[stereo]
+                cam = self.cfg.camera
+                x = (feats.xy[stereo, 0] - cam.cx) * z / cam.fx
+                y = (feats.xy[stereo, 1] - cam.cy) * z / cam.fy
+                pc = np.stack([x, y, z], axis=1)
+                # trimmed centroid: drop depth outliers beyond 1 sigma-ish
+                med = np.median(pc, axis=0)
+                d = np.linalg.norm(pc - med, axis=1)
+                keep = d < max(np.median(d) * 2.5, 1.0)
+                t = pc[keep].mean(axis=0) if keep.sum() >= 3 else med
+            else:
+                t = det.location_cam
+        else:
+            t = det.location_cam
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return T
+
+    def _point_max_dist(self, det: Detection) -> float:
+        if self.cfg.objects.manual_point_max_distance:
+            return self.cfg.objects.in_obj_frame_point_max_distance
+        return float(np.linalg.norm(np.asarray(det.dims) / 2.0))
+
+    def _unproject(self, feats, fsel):
+        cam = self.cfg.camera
+        z = feats.depth[fsel]
+        x = (feats.xy[fsel, 0] - cam.cx) * z / cam.fx
+        y = (feats.xy[fsel, 1] - cam.cy) * z / cam.fy
+        return np.stack([x, y, z], axis=1)
+
+    # ------------------------------------------------------------------
+    def _try_init(self, det, feats, fsel, T_cw, timestamp):
+        stereo = fsel[(feats.depth[fsel] > 0)]
+        if len(stereo) < self.cfg.objects.init_min_features:
+            return
+        T_co = self._init_pose_from_detection(det, feats, fsel)
+        track = self.tracks.get(det.track_id)
+        if track is None:
+            track = ObjectTrack(
+                track_id=det.track_id,
+                dims=np.asarray(det.dims, np.float64),
+                max_points=self.cfg.objects.max_object_points,
+            )
+            self.tracks[det.track_id] = track
+            self.all_tracks.append(track)
+        self._add_keyframe_with_points(track, det, feats, fsel, T_co, T_cw, timestamp)
+        if track.n_points() >= self.cfg.objects.init_min_map_points:
+            track.track_ok = True
+        self._record_state(track, det, T_co, T_cw, timestamp)
+
+    def _reinit(self, track, det, feats, fsel, T_cw, timestamp):
+        track.pt_valid[:] = False
+        track.obs[:, :] = False
+        track.keyframes.clear()
+        track.velocity_world = None
+        self._try_init(det, feats, fsel, T_cw, timestamp)
+
+    # ------------------------------------------------------------------
+    def _add_keyframe_with_points(self, track, det, feats, fsel, T_co, T_cw,
+                                  timestamp, bind: Optional[np.ndarray] = None):
+        """Create an ObjectKeyFrame; spawn object points from unbound stereo
+        features within the scale bound."""
+        okf_idx = len(track.keyframes)
+        if okf_idx >= track.MAX_OKF:
+            return None
+        F = len(fsel)
+        point_idx = np.full(F, -1, np.int64) if bind is None else bind.copy()
+        okf = ObjectKeyFrameRec(
+            obj_kf_id=okf_idx,
+            frame_id=det.frame_id,
+            T_co=np.asarray(T_co, np.float64),
+            T_cw=np.asarray(T_cw, np.float64),
+            xy=feats.xy[fsel].copy(),
+            level=feats.level[fsel].copy(),
+            desc=feats.desc[fsel].copy(),
+            angle=feats.angle[fsel].copy(),
+            depth=feats.depth[fsel].copy(),
+            u_right=feats.u_right[fsel].copy(),
+            point_idx=point_idx,
+            bbox=np.asarray(det.bbox, np.float64),
+        )
+        # bind existing points' observations
+        bound = np.nonzero(point_idx >= 0)[0]
+        if len(bound):
+            track.obs[point_idx[bound], okf_idx] = True
+        # spawn new points from unbound stereo features
+        T_oc = np.linalg.inv(okf.T_co)
+        new_sel = np.nonzero((point_idx < 0) & (okf.depth > 0))[0]
+        if len(new_sel):
+            pc = self._unproject_local(okf, new_sel)
+            po = pc @ T_oc[:3, :3].T + T_oc[:3, 3]
+            in_bound = np.linalg.norm(po, axis=1) <= self._point_max_dist(det)
+            new_sel = new_sel[in_bound]
+            po = po[in_bound]
+            n_free = int((~track.pt_valid).sum())
+            if len(new_sel) > n_free:
+                new_sel, po = new_sel[:n_free], po[:n_free]
+            if len(new_sel):
+                rows = track.alloc_points(len(new_sel))
+                track.pt_pos[rows] = po
+                track.pt_desc[rows] = okf.desc[new_sel]
+                track.pt_first_okf[rows] = okf_idx
+                track.pt_found[rows] = 1
+                track.pt_visible[rows] = 1
+                okf.point_idx[new_sel] = rows
+                track.obs[rows, okf_idx] = True
+        track.keyframes.append(okf)
+        self._object_local_mapping(track, det)
+        return okf
+
+    def _unproject_local(self, okf, sel):
+        cam = self.cfg.camera
+        z = okf.depth[sel]
+        x = (okf.xy[sel, 0] - cam.cx) * z / cam.fx
+        y = (okf.xy[sel, 1] - cam.cy) * z / cam.fy
+        return np.stack([x, y, z], axis=1)
+
+    # ------------------------------------------------------------------
+    def _solve_object_pose(self, track, det, feats, fsel, bind, T_init):
+        """CFSE3ObjStateOptimization: pose-only LM over object-frame points
+        with the detection translation prior."""
+        good = np.nonzero(bind >= 0)[0]
+        if len(good) < 3:
+            return None, np.zeros(0, bool), good
+        pts_o = track.pt_pos[bind[good]].astype(np.float32)
+        f = fsel[good]
+        obs = np.stack(
+            [feats.xy[f, 0], feats.xy[f, 1], feats.u_right[f]], axis=1
+        ).astype(np.float32)
+        is_stereo = feats.depth[f] > 0
+        inv_sigma2 = (1.0 / self._scales**2)[feats.level[f]].astype(np.float32)
+
+        def pad(a, fill=0):
+            out = np.full((EDGE_CAP,) + a.shape[1:], fill, a.dtype)
+            out[: min(len(a), EDGE_CAP)] = a[:EDGE_CAP]
+            return out
+
+        edges = pose_opt.PoseObs(
+            pts=jnp.asarray(pad(pts_o)),
+            obs=jnp.asarray(pad(obs)),
+            is_stereo=jnp.asarray(pad(is_stereo, False)),
+            inv_sigma2=jnp.asarray(pad(inv_sigma2)),
+            valid=jnp.asarray(pad(np.ones(len(good), bool), False)),
+        )
+        prior_t = self._init_pose_from_detection(det, feats, fsel)[:3, 3]
+        result = pose_opt.pose_optimize(
+            jnp.asarray(T_init, jnp.float32), edges,
+            trans_prior=jnp.asarray(prior_t, jnp.float32),
+            trans_prior_weight=50.0,
+            **self._cam_args,
+        )
+        inl = np.asarray(result.inliers)[: len(good)]
+        return np.asarray(result.T, np.float64), inl, good
+
+    def _track_object(self, track, det, feats, fsel, T_cw, timestamp) -> bool:
+        if len(fsel) < self.cfg.objects.track_min_features // 2:
+            track.track_ok = False
+            return False
+        T_pred = track.predict_pose_cf(det.frame_id, T_cw)
+        if T_pred is None:
+            T_pred = self._init_pose_from_detection(det, feats, fsel)
+
+        # fixed-capacity views of this detection's features (static shapes)
+        fsel = fsel[:F_CAP]
+        F = len(fsel)
+
+        def fpad(a, fill=0):
+            out = np.full((F_CAP,) + a.shape[1:], fill, a.dtype)
+            out[:F] = a[fsel]
+            return out
+
+        p_xy = fpad(feats.xy)
+        p_level = fpad(feats.level)
+        p_desc = fpad(feats.desc)
+        p_angle = fpad(feats.angle)
+        p_valid = fpad(feats.valid, False)
+
+        # stage 1: brute match current features vs object point descriptors
+        # (SearchByBruceMatching analog)
+        res = matchers.brute_match(
+            jnp.asarray(p_desc), jnp.asarray(p_angle), jnp.asarray(p_valid),
+            jnp.asarray(track.pt_desc), jnp.zeros(track.max_points, jnp.float32),
+            jnp.asarray(track.pt_valid),
+            nn_ratio=0.9, th_desc=matchers.TH_HIGH, check_rotation=False,
+        )
+        bind = np.asarray(res.idx_b_for_a).astype(np.int64)[:F]
+        T1, inl1, good1 = self._solve_object_pose(track, det, feats, fsel, bind, T_pred)
+        if T1 is None:
+            track.track_ok = False
+            return False
+        bind[good1[~inl1]] = -1
+
+        # stage 2: object local map — project all points through refined pose
+        M = track.max_points
+        proj = matchers.project_and_match(
+            jnp.asarray(track.pt_pos, jnp.float32),
+            jnp.asarray(track.pt_desc),
+            jnp.asarray(track.pt_valid),
+            jnp.asarray(T1, jnp.float32),
+            jnp.asarray(p_xy), jnp.asarray(p_level),
+            jnp.asarray(p_desc), jnp.asarray(p_valid),
+            jnp.full((M,), 6.0, jnp.float32),
+            jnp.asarray(self._scales),
+            jnp.zeros(M, jnp.int32),
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            th_desc=matchers.TH_HIGH,
+            **self._cam_args,
+        )
+        pf = np.asarray(proj.point_for_feature)[:F]
+        add = np.nonzero((pf >= 0) & (bind < 0))[0]
+        bind[add] = pf[add]
+        T2, inl2, good2 = self._solve_object_pose(track, det, feats, fsel, bind, T1)
+        if T2 is None:
+            track.track_ok = False
+            return False
+        bind[good2[~inl2]] = -1
+        n_inl = int(inl2.sum())
+        track.n_inliers = n_inl
+        found = bind[bind >= 0]
+        track.pt_found[found] += 1
+        track.pt_visible[found] += 1
+
+        if n_inl < self.cfg.objects.min_tracked_points:
+            track.track_ok = False
+            return False
+        track.track_ok = True
+
+        self._dynamic_discrimination(track, det, feats, fsel, bind, T_cw, T2)
+        self._record_state(track, det, T2, T_cw, timestamp)
+
+        # object keyframe policy: tracked fraction of last OKF's points
+        last_okf = track.keyframes[-1]
+        n_ref = int((last_okf.point_idx >= 0).sum())
+        if n_inl < 0.9 * n_ref or det.frame_id - last_okf.frame_id >= 5:
+            self._add_keyframe_with_points(
+                track, det, feats, fsel, T2, T_cw, timestamp, bind=bind
+            )
+        return True
+
+    # ------------------------------------------------------------------
+    def _dynamic_discrimination(self, track, det, feats, fsel, bind, T_cw, T_co):
+        """Static-hypothesis reprojection test (reference
+        src/Tracking.cc:2058-2202; thresholds mono>1 / stereo>2 from
+        src/DetectionObject.cc:189)."""
+        prev = track.last_seen_frame
+        if prev < 0 or prev not in track.poses_world:
+            return
+        cam = self.cfg.objects
+        T_co_static = T_cw @ track.poses_world[prev]     # object frozen in world
+        good = np.nonzero(bind >= 0)[0]
+        if len(good) < 5:
+            return
+        po = track.pt_pos[bind[good]]
+        pc = po @ T_co_static[:3, :3].T + T_co_static[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        c = self.cfg.camera
+        u = c.fx * pc[:, 0] / z + c.cx
+        v = c.fy * pc[:, 1] / z + c.cy
+        f = fsel[good]
+        err = np.sqrt((u - feats.xy[f, 0]) ** 2 + (v - feats.xy[f, 1]) ** 2)
+        stereo = feats.depth[f] > 0
+        err_ur = np.abs((u - c.bf / z) - feats.u_right[f])
+        mono_err = float(np.median(err[~stereo])) if (~stereo).any() else 0.0
+        stereo_err = (
+            float(np.median(np.maximum(err[stereo], err_ur[stereo])))
+            if stereo.any()
+            else 0.0
+        )
+        is_dyn = (mono_err > cam.dyn_mono_err_threshold) or (
+            stereo_err > cam.dyn_stereo_err_threshold
+        )
+        track.vote_dynamic(is_dyn, hysteresis=cam.dyn_hysteresis_votes)
+
+    def _record_state(self, track, det, T_co, T_cw, timestamp):
+        f = det.frame_id
+        track.poses_cf[f] = np.asarray(T_co, np.float64)
+        track.poses_world[f] = np.linalg.inv(T_cw) @ T_co
+        track.detections[f] = det
+        if track.keyframes:
+            okf = track.keyframes[-1]
+            track.rel_pose_log[f] = (
+                okf.obj_kf_id, T_co @ np.linalg.inv(okf.T_co)
+            )
+        prev = track.last_seen_frame
+        if prev >= 0 and prev != f:
+            track.update_velocity(prev, f)
+        track.last_seen_frame = f
+        track.last_seen_time = timestamp
+
+    # ------------------------------------------------------------------
+    def _object_local_mapping(self, track: ObjectTrack, det: Detection):
+        """Culling + windowed object BA (ObjectLocalMapping thread analog)."""
+        okf_idx = len(track.keyframes) - 1
+        self._cull_object_points(track, okf_idx)
+        n_cov = len(track.covisible_keyframes(okf_idx, min_weight=5))
+        if n_cov > self.cfg.objects.ba_min_covisible_kfs:
+            self._object_ba(track, okf_idx)
+
+    def _cull_object_points(self, track: ObjectTrack, okf_idx: int):
+        """found/visible < 0.25 or <3 obs shortly after creation
+        (reference src/ObjectLocalMapping.cpp:107-151)."""
+        valid = np.nonzero(track.pt_valid)[0]
+        if len(valid) == 0:
+            return
+        ratio = track.pt_found[valid] / np.maximum(track.pt_visible[valid], 1)
+        age = okf_idx - track.pt_first_okf[valid]
+        obs_n = track.obs[valid].sum(axis=1)
+        cull = (ratio < 0.25) & (age >= 2)
+        cull |= (age >= 2) & (obs_n < 2)
+        if cull.any():
+            track.cull_points(valid[cull])
+
+    def _object_ba(self, track: ObjectTrack, okf_idx: int):
+        """Windowed BA over covisible object KFs with roll/pitch frozen
+        (reference Optimizer::ObjectLocalBundleAdjustment, window of 120
+        object-KF ids src/Optimizer.cc:47, VertexSE3Fix :836-838)."""
+        window_ids = [okf_idx] + [
+            int(i)
+            for i in track.covisible_keyframes(okf_idx, min_weight=5)
+            if okf_idx - int(i) <= self.cfg.objects.ba_window_kf_ids
+        ]
+        window_ids = sorted(set(window_ids))[-16:]
+        kfs = [track.keyframes[i] for i in window_ids]
+        P_cap, L_cap = 16, track.max_points
+        E_cap = 4096
+
+        pts = np.nonzero(track.pt_valid)[0]
+        pt_row = np.full(track.max_points, -1, np.int64)
+        pt_row[pts] = np.arange(len(pts))
+
+        e_pose, e_point, e_obs, e_stereo, e_inv2 = [], [], [], [], []
+        for ri, okf in enumerate(kfs):
+            bound = np.nonzero(okf.point_idx >= 0)[0]
+            p = okf.point_idx[bound]
+            sel = pt_row[p] >= 0
+            bound, p = bound[sel], p[sel]
+            e_pose.append(np.full(len(bound), ri))
+            e_point.append(pt_row[p])
+            e_obs.append(
+                np.stack([okf.xy[bound, 0], okf.xy[bound, 1], okf.u_right[bound]], 1)
+            )
+            e_stereo.append(okf.depth[bound] > 0)
+            e_inv2.append(1.0 / self._scales[okf.level[bound]] ** 2)
+        e_pose = np.concatenate(e_pose)[:E_cap]
+        e_point = np.concatenate(e_point)[:E_cap]
+        e_obs = np.concatenate(e_obs)[:E_cap]
+        e_stereo = np.concatenate(e_stereo)[:E_cap]
+        e_inv2 = np.concatenate(e_inv2)[:E_cap]
+        E = len(e_pose)
+        if E < 30:
+            return
+
+        def pad(a, cap, fill=0):
+            out = np.full((cap,) + np.asarray(a).shape[1:], fill, np.asarray(a).dtype)
+            out[: len(a)] = np.asarray(a)[:cap]
+            return out
+
+        # dof mask: translations + yaw (omega_y) free; roll/pitch frozen
+        dof = np.zeros((P_cap, 6), np.float32)
+        dof[:, :3] = 1.0
+        dof[:, 4] = 1.0
+        fixed = [i == 0 for i in range(len(kfs))]
+
+        prob = local_ba.BAProblem(
+            poses=jnp.asarray(pad(np.stack([k.T_co for k in kfs]), P_cap), jnp.float32),
+            pose_fixed=jnp.asarray(pad(np.asarray(fixed), P_cap, True)),
+            pose_valid=jnp.asarray(pad(np.ones(len(kfs), bool), P_cap, False)),
+            dof_mask=jnp.asarray(dof),
+            points=jnp.asarray(pad(track.pt_pos[pts].astype(np.float32), L_cap)),
+            point_valid=jnp.asarray(pad(np.ones(len(pts), bool), L_cap, False)),
+            e_pose=jnp.asarray(pad(e_pose.astype(np.int32), E_cap)),
+            e_point=jnp.asarray(pad(e_point.astype(np.int32), E_cap)),
+            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E_cap)),
+            e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
+            e_inv_sigma2=jnp.asarray(pad(e_inv2.astype(np.float32), E_cap)),
+            e_valid=jnp.asarray(pad(np.ones(E, bool), E_cap, False)),
+        )
+        result = local_ba.bundle_adjust(prob, **self._cam_args)
+        self.ba_calls += 1
+        new_poses = np.asarray(result.poses, np.float64)
+        for ri, okf in enumerate(kfs):
+            if not fixed[ri]:
+                okf.T_co = new_poses[ri]
+        track.pt_pos[pts] = np.asarray(result.points, np.float64)[: len(pts)]
+        # drop outlier observations
+        inl = np.asarray(result.edge_inlier)[:E]
+        for b in np.nonzero(~inl)[0]:
+            okf = kfs[int(e_pose[b])]
+            p = pts[int(e_point[b])]
+            featsel = np.nonzero(okf.point_idx == p)[0]
+            if len(featsel):
+                okf.point_idx[featsel] = -1
+                track.obs[p, window_ids[int(e_pose[b])]] = False
+
+    # ------------------------------------------------------------------
+    def export_detections(self) -> List[dict]:
+        """Per-frame object states in the writer's schema, recovered from the
+        relative-pose log against (BA-refined) object keyframes — the
+        reference's SaveObjectDetectionKITTI recovery (src/System.cc:409-473)."""
+        out = []
+        for track in self.all_tracks:
+            for f, (okf_id, T_rel) in sorted(track.rel_pose_log.items()):
+                if okf_id >= len(track.keyframes):
+                    continue
+                okf = track.keyframes[okf_id]
+                T_co = T_rel @ okf.T_co
+                det = track.detections.get(f)
+                if det is None:
+                    continue
+                out.append(
+                    dict(
+                        frame_id=f,
+                        track_id=track.track_id,
+                        bbox=np.asarray(det.bbox),
+                        dims=np.asarray(det.dims),
+                        t_co=T_co[:3, 3],
+                        pitch=heading_y(T_co[:3, :3]),
+                        truncated=det.truncated,
+                        occluded=det.occluded,
+                        alpha=det.alpha,
+                        dynamic=track.dynamic,
+                    )
+                )
+        return out
