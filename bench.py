@@ -1,0 +1,64 @@
+"""Benchmark: per-frame stereo frontend throughput on one TPU chip.
+
+Measures the SLOT hot path — full ORB extraction on BOTH stereo images
+(pyramid, FAST, NMS, selection, orientation, blur, BRIEF) plus stereo
+matching with SAD sub-pixel refinement — at KITTI tracking geometry
+(1242x375, 1000 features, 8 levels).
+
+Baseline: the reference runs "online, real-time" at the KITTI camera rate of
+10 fps on a desktop GPU rig (BASELINE.md); the repo pins no faster number.
+vs_baseline is therefore frames/s divided by 10.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from pointslot_tpu.config import CameraConfig, ORBConfig
+    from pointslot_tpu.datasets.synthetic import SyntheticRenderer, make_scene
+    from pointslot_tpu.ops.frontend import StereoFrontend
+
+    cam = CameraConfig()
+    scene = make_scene(n_frames=4, n_points=2500, n_objects=2, seed=7,
+                      camera=cam)
+    renderer = SyntheticRenderer(scene)
+    pairs = []
+    for i in range(4):
+        left, right, _ = renderer.render(i)
+        pairs.append((np.asarray(left, np.uint8), np.asarray(right, np.uint8)))
+
+    fe = StereoFrontend(cam.height, cam.width, cam.fx, cam.bf, ORBConfig())
+
+    # warm-up / compile
+    out = fe(pairs[0][0], pairs[0][1])
+    jax.block_until_ready(out)
+    out = fe(pairs[1][0], pairs[1][1])
+    jax.block_until_ready(out)
+
+    # timed: cycle through distinct frames to defeat any caching
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        left, right = pairs[i % len(pairs)]
+        out = fe(left, right)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "frontend_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,8 +74,10 @@ class StereoFrontend:
         If only `gate` is given the right image is ungated (background use);
         pass gate_right (e.g. a disparity-dilated object mask) to focus the
         right-image feature budget for object stereo."""
-        left = jnp.asarray(left, jnp.float32)
-        right = jnp.asarray(right, jnp.float32)
+        # ship uint8 to the device when possible (4x less PCIe/tunnel traffic);
+        # cast to f32 on-device inside the jit
+        left = jnp.asarray(left)
+        right = jnp.asarray(right)
         if gate is None:
             return StereoFrame(*self._run(left, right))
         if gate_right is None:
@@ -90,6 +92,8 @@ class StereoFrontend:
     def _frontend(self, left, right, gate, gate_r=None):
         ext = self.extractor
         cfg = self.config
+        left = left.astype(jnp.float32)
+        right = right.astype(jnp.float32)
         levels_l = pyr_ops.build_pyramid(left, cfg.n_levels, cfg.scale_factor)
         levels_r = pyr_ops.build_pyramid(right, cfg.n_levels, cfg.scale_factor)
 
