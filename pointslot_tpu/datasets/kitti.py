@@ -1,0 +1,249 @@
+"""KITTI tracking dataset loader.
+
+Replaces the reference's offline readers: image list loading
+(Examples/Stereo/stereo_kitti.cc:175-245 LoadImages), the 1x24-row object
+table ReadKittiObjectInfo (reference src/Tracking.cc:485-640, row layout
+documented at :481-484), camera pose GT ReadKittiPoseInfo (:449-479), and
+the instance-segmentation PNG reader (src/Frame.cc:1004-1216).
+
+Also provides the Virtual KITTI readers (reference
+ReadVirtualKittiObjectInfo :650, ReadVirtualKittiCameraGT :845).
+
+Layout expected (the reference's, README.md:13):
+  <root>/image_02/<seq>/ 000000.png ...   left
+  <root>/image_03/<seq>/ 000000.png ...   right
+  <root>/ObjectTracking.txt (or label_02/<seq>.txt)  detections
+  <root>/instances/<seq>/ 000000.png      instance masks (optional)
+  <root>/pose_gt.txt                       camera GT (optional)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pointslot_tpu.slam.objects import Detection
+
+_VEHICLE_TYPES = {"Car", "Van", "Truck", "Bus"}
+_NONVEHICLE_TYPES = {
+    "Pedestrian", "Person_sitting", "Cyclist", "Tram", "Misc", "DontCare",
+}
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    """PNG/JPG -> (H, W) uint8 grayscale without OpenCV."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "I;16", "I"):
+        img = img.convert("L")
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (arr / max(arr.max(), 1) * 255).astype(np.uint8)
+    return arr
+
+
+def _imread_raw(path: str) -> np.ndarray:
+    """Instance masks: load preserving integer ids."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path))
+
+
+def read_kitti_object_rows(path: str, n_frames: Optional[int] = None) -> np.ndarray:
+    """Parse the KITTI tracking label file into 1x24 rows (same layout as
+    the reference's EvOfflineAllObjectDetections; see SURVEY.md):
+
+    [0] frame [1] track [2] trunc [3] occ [4] alpha [5:9] bbox xywh
+    [9:12] dims (l, h, w) [12:15] location cam-frame [15] rot_y [16] score
+    [17] type_id (1 = vehicle) [18] is_moving [19:24] zeros.
+    """
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 17:
+                continue
+            frame_id = int(float(parts[0]))
+            track_id = int(float(parts[1]))
+            typ = parts[2]
+            type_id = 0.0 if typ in _NONVEHICLE_TYPES else 1.0
+            trunc, occ, alpha = (float(parts[i]) for i in (3, 4, 5))
+            x0, y0, x1, y1 = (float(parts[i]) for i in (6, 7, 8, 9))
+            h, w, l = (float(parts[i]) for i in (10, 11, 12))
+            loc = [float(parts[i]) for i in (13, 14, 15)]
+            rot_y = float(parts[16])
+            row = np.zeros(24)
+            row[0], row[1] = frame_id, track_id
+            row[2], row[3], row[4] = trunc, occ, alpha
+            row[5:9] = [x0, y0, x1 - x0, y1 - y0]
+            row[9:12] = [l, h, w]
+            row[12:15] = loc
+            row[15] = rot_y
+            row[16] = 1.0
+            row[17] = type_id
+            row[18] = 1.0
+            rows.append(row)
+    out = np.asarray(rows) if rows else np.zeros((0, 24))
+    if n_frames is not None and len(out):
+        out = out[out[:, 0] < n_frames]
+    return out
+
+
+def read_kitti_poses(path: str) -> np.ndarray:
+    """12-float rows -> (N, 4, 4) poses (reference ReadKittiPoseInfo)."""
+    data = np.loadtxt(path).reshape(-1, 3, 4)
+    out = np.tile(np.eye(4), (len(data), 1, 1))
+    out[:, :3, :4] = data
+    return out
+
+
+def read_virtual_kitti_objects(pose_file: str, bbox_file: str) -> np.ndarray:
+    """Virtual KITTI 2 per-frame object pose + bbox files -> 1x24 rows
+    (reference ReadVirtualKittiObjectInfo src/Tracking.cc:650-843).
+
+    pose: frame cameraID trackID alpha width height length wx wy wz
+          r_wy r_wx r_wz cx cy cz r_cy r_cx r_cz
+    bbox: frame cameraID trackID left right top bottom pixels trunc occ
+          isMoving
+    """
+    def load(path):
+        with open(path) as f:
+            header = f.readline()
+            return [ln.split() for ln in f if ln.strip()], header
+
+    poses, _ = load(pose_file)
+    bboxes, _ = load(bbox_file)
+    bbox_map: Dict[tuple, List[str]] = {}
+    for b in bboxes:
+        bbox_map[(int(b[0]), int(b[1]), int(b[2]))] = b
+    rows = []
+    for p in poses:
+        frame, cam_id, track = int(p[0]), int(p[1]), int(p[2])
+        if cam_id != 0:
+            continue
+        key = (frame, cam_id, track)
+        if key not in bbox_map:
+            continue
+        b = bbox_map[key]
+        left, right, top, bottom = (float(b[i]) for i in (3, 4, 5, 6))
+        is_moving = b[10].lower() in ("true", "1") if len(b) > 10 else True
+        width, height, length = float(p[4]), float(p[5]), float(p[6])
+        cx, cy, cz = float(p[13]), float(p[14]), float(p[15])
+        r_cy = float(p[16])
+        row = np.zeros(24)
+        row[0], row[1] = frame, track
+        row[4] = float(p[3])
+        row[5:9] = [left, top, right - left, bottom - top]
+        row[9:12] = [length, height, width]
+        # Virtual KITTI object origin is at the bottom face center; shift to
+        # the geometric center like the reference (EnObjectCenter == 1)
+        row[12:15] = [cx, cy - height / 2.0, cz]
+        row[15] = r_cy
+        row[16] = 1.0
+        row[17] = 1.0
+        row[18] = float(is_moving)
+        rows.append(row)
+    return np.asarray(rows) if rows else np.zeros((0, 24))
+
+
+@dataclass
+class KittiTrackingSequence:
+    root: str
+    sequence: str = "0000"
+
+    def __post_init__(self):
+        self.left_dir = os.path.join(self.root, "image_02", self.sequence)
+        self.right_dir = os.path.join(self.root, "image_03", self.sequence)
+        if not os.path.isdir(self.left_dir):
+            # flat layout: <root>/image_02/*.png
+            self.left_dir = os.path.join(self.root, "image_02")
+            self.right_dir = os.path.join(self.root, "image_03")
+        self.frames = sorted(
+            f for f in os.listdir(self.left_dir) if f.endswith((".png", ".jpg"))
+        )
+        label = None
+        for cand in (
+            os.path.join(self.root, "ObjectTracking.txt"),
+            os.path.join(self.root, "label_02", f"{self.sequence}.txt"),
+            os.path.join(self.root, f"{self.sequence}.txt"),
+        ):
+            if os.path.isfile(cand):
+                label = cand
+                break
+        self.rows = (
+            read_kitti_object_rows(label, n_frames=len(self.frames))
+            if label
+            else np.zeros((0, 24))
+        )
+        self.instances_dir = None
+        for cand in (
+            os.path.join(self.root, "instances", self.sequence),
+            os.path.join(self.root, "instances"),
+        ):
+            if os.path.isdir(cand):
+                self.instances_dir = cand
+                break
+        pose_file = os.path.join(self.root, "pose_gt.txt")
+        self.gt_poses = read_kitti_poses(pose_file) if os.path.isfile(pose_file) else None
+
+    def __len__(self):
+        return len(self.frames)
+
+    def timestamps(self, fps: float = 10.0):
+        return np.arange(len(self.frames)) / fps
+
+    def load(self, i: int):
+        """Returns (left, right, detections, instance_mask) for frame i.
+
+        Detection mask_value follows the reference semantics: the k-th
+        detection row of the frame owns mask pixels with value k+1
+        (reference src/Frame.cc:810-844)."""
+        name = self.frames[i]
+        left = _imread_gray(os.path.join(self.left_dir, name))
+        right = _imread_gray(os.path.join(self.right_dir, name))
+        frame_rows = self.rows[self.rows[:, 0] == i] if len(self.rows) else []
+        dets = [
+            Detection.from_row24(r, mask_value=k + 1)
+            for k, r in enumerate(frame_rows)
+            if r[1] >= 0 and r[17] > 0
+        ]
+        inst = None
+        if self.instances_dir is not None:
+            p = os.path.join(self.instances_dir, name)
+            if os.path.isfile(p):
+                raw = _imread_raw(p)
+                # KITTI MOTS instance PNGs encode id = class*1000 + instance;
+                # normalize to small per-frame ids matched to rows by bbox IoU
+                inst = self._normalize_instances(raw, dets)
+        return left, right, dets, inst
+
+    @staticmethod
+    def _normalize_instances(raw: np.ndarray, dets: List[Detection]) -> np.ndarray:
+        """Map arbitrary instance-id images onto 1..K mask values matching
+        the detection rows (by bbox overlap), 0 = background."""
+        out = np.zeros(raw.shape[:2], np.int32)
+        ids = np.unique(raw)
+        ids = ids[ids > 0]
+        for rid in ids:
+            m = raw == rid
+            ys, xs = np.nonzero(m)
+            if len(xs) == 0:
+                continue
+            bx0, bx1, by0, by1 = xs.min(), xs.max(), ys.min(), ys.max()
+            best, best_iou = 0, 0.0
+            for det in dets:
+                dx0, dy0, dw, dh = det.bbox
+                ix0 = max(bx0, dx0); iy0 = max(by0, dy0)
+                ix1 = min(bx1, dx0 + dw); iy1 = min(by1, dy0 + dh)
+                inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+                union = (bx1 - bx0) * (by1 - by0) + dw * dh - inter
+                iou = inter / max(union, 1)
+                if iou > best_iou:
+                    best, best_iou = det.mask_value, iou
+            if best_iou > 0.3:
+                out[m] = best
+        return out
