@@ -99,6 +99,8 @@ class MatcherConfig:
 class TrackingConfig:
     """Camera-tracking policy knobs (reference src/Tracking.cc)."""
 
+    # Stereo initialization gate (reference src/Tracking.cc:2840)
+    min_init_stereo_features: int = 500
     # Minimum matches to accept motion-model / reference-KF / local-map tracking
     min_matches_motion_model: int = 20
     min_matches_ref_kf: int = 15

@@ -1,15 +1,20 @@
 """Synthetic stereo SLOT scene generator.
 
-Produces deterministic stereo image sequences with known camera trajectory,
-3D structure, and moving rigid objects (textured boxes) — the test/bench
-substitute for KITTI tracking sequences (which are not vendored). Everything
-is plain numpy on the host; images come out in the KITTI tracking geometry
-(1242x375 by default) so kernels and the full pipeline exercise realistic
-shapes.
+Produces deterministic stereo sequences with known camera trajectory, known
+scene geometry and moving rigid objects (textured boxes) — the test/bench
+substitute for KITTI tracking sequences (which are not vendored).
+
+The world is built from textured PLANES (ground, walls) rendered by
+per-pixel ray casting with a z-buffer, so every image region has a
+geometrically-consistent, surface-attached texture: feature support regions
+move coherently under parallax exactly as on real surfaces (isolated point
+splats would put a depth discontinuity inside every descriptor window and
+destroy matching). Moving objects are textured boxes rasterized face by
+face into the same z-buffer.
 
 Also emits offline detections in the reference's 1x24-row schema
 (reference src/Tracking.cc:481-640) + instance segmentation masks
-(mask semantics 0 = background, k = object k-1, 255 = ignore;
+(mask semantics 0 = background, k = object's mask value;
 reference src/Frame.cc:810-844), so SLOT mode 4 runs end-to-end.
 """
 
@@ -23,8 +28,8 @@ import numpy as np
 from pointslot_tpu.config import CameraConfig
 
 
-def _smooth_noise_texture(rng: np.random.Generator, h: int, w: int, octaves: int = 4) -> np.ndarray:
-    """Multi-octave value-noise texture in [0, 1] — gives FAST corners at all scales."""
+def _smooth_noise_texture(rng: np.random.Generator, h: int, w: int, octaves: int = 6) -> np.ndarray:
+    """Multi-octave value-noise texture in [0, 1] — corners at all scales."""
     out = np.zeros((h, w), np.float32)
     amp = 1.0
     for o in range(octaves):
@@ -49,12 +54,24 @@ def _smooth_noise_texture(rng: np.random.Generator, h: int, w: int, octaves: int
 
 
 @dataclass
+class Plane:
+    """Infinite textured plane: n . (X - origin) = 0."""
+
+    origin: np.ndarray          # (3,)
+    normal: np.ndarray          # (3,) unit, pointing toward the viewable side
+    u_ax: np.ndarray            # (3,) texture axes (unit, orthogonal)
+    v_ax: np.ndarray
+    tex_seed: int = 0
+    tex_scale: float = 60.0     # texture pixels per meter
+
+
+@dataclass
 class SyntheticObject:
     """A moving textured box: pose trajectory + dimensions."""
 
     track_id: int
-    dims: np.ndarray                     # (3,) w, h, l (x, y, z extents in object frame)
-    poses_world: List[np.ndarray] = field(default_factory=list)  # per-frame 4x4 T_wo
+    dims: np.ndarray                     # (3,) x, y, z extents in object frame
+    poses_world: List[np.ndarray] = field(default_factory=list)  # per-frame T_wo
     is_moving: bool = True
 
 
@@ -63,7 +80,7 @@ class SyntheticScene:
     camera: CameraConfig
     n_frames: int
     poses_world: List[np.ndarray]        # per-frame camera T_wc (camera-to-world)
-    points_world: np.ndarray             # (N, 3) static structure
+    planes: List[Plane]
     objects: List[SyntheticObject]
     seed: int = 0
 
@@ -72,53 +89,43 @@ class SyntheticScene:
         return [np.linalg.inv(T) for T in self.poses_world]
 
 
+def _corridor_planes(half_width: float = 8.0, ground_y: float = 1.6,
+                     ceil_y: float = -6.0, seed: int = 0) -> List[Plane]:
+    ex = np.array([1.0, 0, 0]); ey = np.array([0, 1.0, 0]); ez = np.array([0, 0, 1.0])
+    return [
+        Plane(np.array([0, ground_y, 0.0]), -ey, ex, ez, tex_seed=seed + 1),
+        Plane(np.array([-half_width, 0, 0.0]), ex, ez, ey, tex_seed=seed + 2),
+        Plane(np.array([half_width, 0, 0.0]), -ex, ez, ey, tex_seed=seed + 3),
+        Plane(np.array([0, ceil_y, 0.0]), ey, ex, ez, tex_seed=seed + 4),
+    ]
+
+
+def _box_planes(x0, x1, z0, z1, ground_y=1.6, ceil_y=-8.0, seed=0) -> List[Plane]:
+    ex = np.array([1.0, 0, 0]); ey = np.array([0, 1.0, 0]); ez = np.array([0, 0, 1.0])
+    return [
+        Plane(np.array([0, ground_y, 0.0]), -ey, ex, ez, tex_seed=seed + 1),
+        Plane(np.array([x0, 0, 0.0]), ex, ez, ey, tex_seed=seed + 2),
+        Plane(np.array([x1, 0, 0.0]), -ex, ez, ey, tex_seed=seed + 3),
+        Plane(np.array([0, 0, z0]), ez, ex, ey, tex_seed=seed + 4),
+        Plane(np.array([0, 0, z1]), -ez, ex, ey, tex_seed=seed + 5),
+        Plane(np.array([0, ceil_y, 0.0]), ey, ex, ez, tex_seed=seed + 6),
+    ]
+
+
 def make_scene(
     n_frames: int = 30,
     camera: Optional[CameraConfig] = None,
-    n_points: int = 3000,
+    n_points: int = 3000,          # kept for API compat; density is texture-driven now
     n_objects: int = 2,
     seed: int = 0,
     forward_speed: float = 1.0,
     yaw_rate: float = 0.004,
 ) -> SyntheticScene:
-    """Camera drives forward (+z) with slight yaw; static points populate a
-    corridor; objects are boxes moving ahead of the camera (KITTI-like)."""
+    """Camera drives forward (+z) with slight yaw through a textured corridor;
+    objects are boxes moving ahead of the camera (KITTI-like)."""
     cam = camera or CameraConfig()
     rng = np.random.default_rng(seed)
 
-    # static structure: walls + ground + scattered
-    n_wall = n_points // 3
-    n_ground = n_points // 3
-    n_scatter = n_points - n_wall - n_ground
-    zs = rng.uniform(2.0, 20.0 + forward_speed * n_frames, size=n_wall)
-    walls = np.stack(
-        [
-            np.where(rng.uniform(size=n_wall) < 0.5, -8.0, 8.0)
-            + rng.normal(scale=0.5, size=n_wall),
-            rng.uniform(-3.0, 1.2, size=n_wall),
-            zs,
-        ],
-        axis=1,
-    )
-    ground = np.stack(
-        [
-            rng.uniform(-8, 8, size=n_ground),
-            np.full(n_ground, 1.6) + rng.normal(scale=0.05, size=n_ground),
-            rng.uniform(2.0, 20.0 + forward_speed * n_frames, size=n_ground),
-        ],
-        axis=1,
-    )
-    scatter = np.stack(
-        [
-            rng.uniform(-10, 10, size=n_scatter),
-            rng.uniform(-4, 1.6, size=n_scatter),
-            rng.uniform(2.0, 25.0 + forward_speed * n_frames, size=n_scatter),
-        ],
-        axis=1,
-    )
-    points = np.concatenate([walls, ground, scatter], axis=0).astype(np.float64)
-
-    # camera trajectory: forward with gentle yaw
     poses = []
     T = np.eye(4)
     for i in range(n_frames):
@@ -130,10 +137,9 @@ def make_scene(
         step[:3, 3] = Ry @ np.array([0, 0, forward_speed])
         T = T @ step
 
-    # moving objects: boxes ahead, moving forward at different speeds
     objects = []
     for k in range(n_objects):
-        dims = np.array([1.6, 1.5, 3.5])  # w h l: car-ish
+        dims = np.array([1.6, 1.5, 3.5])
         lateral = -3.0 + 6.0 * (k % 2) + rng.normal(scale=0.3)
         z0 = 8.0 + 4.0 * k
         speed = forward_speed * (0.5 + 0.4 * k)
@@ -149,13 +155,53 @@ def make_scene(
 
     return SyntheticScene(
         camera=cam, n_frames=n_frames, poses_world=poses,
-        points_world=points, objects=objects, seed=seed,
+        planes=_corridor_planes(seed=seed), objects=objects, seed=seed,
+    )
+
+
+def make_loop_scene(
+    n_frames: int = 40,
+    camera: Optional[CameraConfig] = None,
+    n_points: int = 3000,          # unused; API compat
+    seed: int = 0,
+    radius: float = 6.0,
+) -> SyntheticScene:
+    """Closed circular trajectory (camera returns to the start) inside a
+    textured room — the loop-closure fixture."""
+    cam = camera or CameraConfig()
+    yaw_rate = 2 * np.pi / n_frames
+    forward = radius * yaw_rate
+
+    # continue a quarter turn past closure so the revisited region produces
+    # several keyframes (loop detection needs consecutive consistent hits)
+    total = n_frames + n_frames // 3
+    poses = []
+    T = np.eye(4)
+    for _ in range(total):
+        poses.append(T.copy())
+        c, s = np.cos(yaw_rate), np.sin(yaw_rate)
+        Ry = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        step = np.eye(4)
+        step[:3, :3] = Ry
+        step[:3, 3] = Ry @ np.array([0, 0, forward])
+        T = T @ step
+
+    centers = np.stack([p[:3, 3] for p in poses])
+    margin = 6.0
+    planes = _box_planes(
+        centers[:, 0].min() - margin, centers[:, 0].max() + margin,
+        centers[:, 2].min() - margin, centers[:, 2].max() + margin,
+        seed=seed,
+    )
+    return SyntheticScene(
+        camera=cam, n_frames=total, poses_world=poses,
+        planes=planes, objects=[], seed=seed,
     )
 
 
 def _box_faces(dims: np.ndarray):
-    """Return the 6 faces of an axis-aligned box centered at the origin as
-    (origin, u_axis, v_axis, normal) tuples. dims = full extents (x, y, z)."""
+    """6 faces of an axis-aligned box centered at origin:
+    (origin, u_axis*extent, v_axis*extent, normal)."""
     hx, hy, hz = dims / 2.0
     faces = []
     for axis, h in ((0, hx), (1, hy), (2, hz)):
@@ -171,97 +217,118 @@ def _box_faces(dims: np.ndarray):
 
 
 class SyntheticRenderer:
-    """Rasterizes the scene into stereo grayscale uint8 frames.
+    """Ray-casting stereo renderer: textured planes + object boxes."""
 
-    Splats textured quads for object boxes and a noise background whose
-    texture is attached to world rays (so it moves correctly with parallax
-    at infinity approximation) plus bright dots at structure points that
-    produce trackable corners.
-    """
+    TEX = 1024
 
     def __init__(self, scene: SyntheticScene):
         self.scene = scene
         cam = scene.camera
-        rng = np.random.default_rng(scene.seed + 1)
-        self._bg = _smooth_noise_texture(rng, cam.height * 2, cam.width * 3)
-        self._point_intensity = rng.uniform(0.25, 1.0, size=len(scene.points_world))
+        self._tex = {
+            p.tex_seed: _smooth_noise_texture(
+                np.random.default_rng(p.tex_seed + scene.seed * 1000),
+                self.TEX, self.TEX,
+            )
+            for p in scene.planes
+        }
         self._obj_tex = [
-            _smooth_noise_texture(np.random.default_rng(scene.seed + 10 + o.track_id), 128, 128)
+            _smooth_noise_texture(
+                np.random.default_rng(scene.seed * 1000 + 500 + o.track_id), 256, 256
+            )
             for o in scene.objects
         ]
+        # precompute the pixel ray grid in CAMERA coords
+        H, W = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float64),
+                             np.arange(H, dtype=np.float64))
+        self._rays_cam = np.stack(
+            [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us)],
+            axis=-1,
+        )
 
-    def _project(self, pts_cam: np.ndarray, baseline_shift: float):
-        cam = self.scene.camera
-        z = pts_cam[:, 2]
-        valid = z > 0.25
-        u = cam.fx * (pts_cam[:, 0] - baseline_shift) / np.maximum(z, 1e-6) + cam.cx
-        v = cam.fy * pts_cam[:, 1] / np.maximum(z, 1e-6) + cam.cy
-        return u, v, z, valid
+    # ------------------------------------------------------------------
+    def _sample_tex(self, tex: np.ndarray, tu: np.ndarray, tv: np.ndarray):
+        """Bilinear, wrap-around texture sampling."""
+        n = tex.shape[0]
+        tu = np.mod(tu, n); tv = np.mod(tv, n)
+        u0 = tu.astype(int) % n; v0 = tv.astype(int) % n
+        u1 = (u0 + 1) % n; v1 = (v0 + 1) % n
+        fu = tu - np.floor(tu); fv = tv - np.floor(tv)
+        return (
+            tex[v0, u0] * (1 - fv) * (1 - fu)
+            + tex[v0, u1] * (1 - fv) * fu
+            + tex[v1, u0] * fv * (1 - fu)
+            + tex[v1, u1] * fv * fu
+        )
 
     def _render_one(self, frame_idx: int, baseline_shift: float):
-        cam = self.scene.camera
+        scene = self.scene
+        cam = scene.camera
         H, W = cam.height, cam.width
-        T_cw = np.linalg.inv(self.scene.poses_world[frame_idx])
+        T_wc = scene.poses_world[frame_idx]
+        R_wc = T_wc[:3, :3]
+        C = T_wc[:3, 3] + R_wc @ np.array([baseline_shift, 0.0, 0.0])
 
-        # background: sample the big texture with a yaw-dependent shift
-        R_wc = self.scene.poses_world[frame_idx][:3, :3]
-        yaw = np.arctan2(R_wc[0, 2], R_wc[2, 2])
-        shift_x = int((yaw / (2 * np.pi)) * self._bg.shape[1] * 4) % self._bg.shape[1]
-        # stereo shift: background is far, use small disparity offset
-        bg_disp = int(round(cam.bf / 60.0)) if baseline_shift > 0 else 0
-        xs = (np.arange(W) + shift_x + bg_disp) % self._bg.shape[1]
-        img = self._bg[:H, :][:, xs].copy() * 0.45
-
+        dirs_w = self._rays_cam @ R_wc.T                     # (H, W, 3)
+        img = np.full((H, W), 0.08, np.float32)
         depth = np.full((H, W), 1e9, np.float32)
 
-        # splat structure points as 3x3 bright/dark dots (corner features)
-        pts_cam = (T_cw[:3, :3] @ self.scene.points_world.T).T + T_cw[:3, 3]
-        u, v, z, valid = self._project(pts_cam, baseline_shift)
-        ui = np.round(u).astype(int)
-        vi = np.round(v).astype(int)
-        ok = valid & (ui >= 2) & (ui < W - 2) & (vi >= 2) & (vi < H - 2)
-        order = np.argsort(-z[ok])  # far first so near overwrites
-        for idx in np.nonzero(ok)[0][order]:
-            x, y = ui[idx], vi[idx]
-            val = self._point_intensity[idx]
-            img[y - 1 : y + 2, x - 1 : x + 2] = val
-            img[y, x] = min(1.0, val + 0.25)
-            depth[y - 1 : y + 2, x - 1 : x + 2] = z[idx]
+        for plane in scene.planes:
+            denom = dirs_w @ plane.normal                    # (H, W)
+            num = (plane.origin - C) @ plane.normal
+            t = np.where(np.abs(denom) > 1e-9, num / denom, -1.0)
+            hit = t > 0.25
+            t_safe = np.where(hit, t, 1e9)
+            closer = hit & (t_safe < depth)
+            if not closer.any():
+                continue
+            X = C[None, None, :] + t[..., None] * dirs_w
+            tu = (X @ plane.u_ax) * plane.tex_scale
+            tv = (X @ plane.v_ax) * plane.tex_scale
+            vals = self._sample_tex(self._tex[plane.tex_seed], tu, tv)
+            img = np.where(closer, vals * 0.85 + 0.05, img)
+            depth = np.where(closer, t, depth)
 
-        # rasterize object box faces with texture
         inst = np.zeros((H, W), np.uint8)
-        for oi, obj in enumerate(self.scene.objects):
-            T_co = T_cw @ obj.poses_world[frame_idx]
+        for oi, obj in enumerate(scene.objects):
+            if frame_idx >= len(obj.poses_world):
+                continue
+            T_co = np.linalg.inv(T_wc) @ obj.poses_world[frame_idx]
+            # account for the stereo eye offset: object pose in THIS eye
+            T_co = np.linalg.inv(
+                np.block([[np.eye(3), np.array([[baseline_shift], [0], [0]])],
+                          [np.zeros((1, 3)), np.ones((1, 1))]])
+            ) @ T_co
             tex = self._obj_tex[oi]
             for origin, uax, vax, normal in _box_faces(obj.dims):
                 n_cam = T_co[:3, :3] @ normal
                 center = T_co[:3, :3] @ origin + T_co[:3, 3]
                 if np.dot(n_cam, center) >= 0:
                     continue  # back face
-                # sample the face on a grid, splat
-                n_samp = 96
+                n_samp = 160
                 gu = np.linspace(-1, 1, n_samp)
-                gv = np.linspace(-1, 1, n_samp)
-                GU, GV = np.meshgrid(gu, gv)
+                GU, GV = np.meshgrid(gu, gu)
                 pts_obj = (
                     origin[None, :]
                     + GU.reshape(-1, 1) * uax[None, :]
                     + GV.reshape(-1, 1) * vax[None, :]
                 )
                 pc = (T_co[:3, :3] @ pts_obj.T).T + T_co[:3, 3]
-                uu, vv, zz, val = self._project(pc, baseline_shift)
-                uui = np.round(uu).astype(int)
-                vvi = np.round(vv).astype(int)
-                okm = val & (uui >= 0) & (uui < W) & (vvi >= 0) & (vvi < H)
-                ti = ((GU.reshape(-1) + 1) * 63.5).astype(int)
-                tj = ((GV.reshape(-1) + 1) * 63.5).astype(int)
-                tvals = tex[tj * 2 % 128, ti * 2 % 128]
-                for idx in np.nonzero(okm)[0]:
-                    y, x = vvi[idx], uui[idx]
-                    if zz[idx] < depth[y, x]:
-                        depth[y, x] = zz[idx]
-                        img[y, x] = 0.2 + 0.75 * tvals[idx]
-                        inst[y, x] = oi + 1
+                zz = pc[:, 2]
+                ok = zz > 0.25
+                uu = np.round(cam.fx * pc[ok, 0] / zz[ok] + cam.cx).astype(int)
+                vv = np.round(cam.fy * pc[ok, 1] / zz[ok] + cam.cy).astype(int)
+                zv = zz[ok]
+                inb = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
+                uu, vv, zv = uu[inb], vv[inb], zv[inb]
+                ti = ((GU.reshape(-1)[ok][inb] + 1) * 127.5).astype(int)
+                tj = ((GV.reshape(-1)[ok][inb] + 1) * 127.5).astype(int)
+                tvals = tex[tj % 256, ti % 256]
+                closer = zv < depth[vv, uu]
+                uu, vv, zv, tvals = uu[closer], vv[closer], zv[closer], tvals[closer]
+                depth[vv, uu] = zv
+                img[vv, uu] = 0.15 + 0.8 * tvals
+                inst[vv, uu] = oi + 1
         return (np.clip(img, 0, 1) * 255).astype(np.uint8), inst, depth
 
     def render(self, frame_idx: int):
@@ -271,31 +338,30 @@ class SyntheticRenderer:
         right, _, _ = self._render_one(frame_idx, cam.baseline)
         return left, right, inst
 
+    def render_with_depth(self, frame_idx: int):
+        """Returns (left, right, instance_mask_left, depth_left)."""
+        cam = self.scene.camera
+        left, inst, depth = self._render_one(frame_idx, 0.0)
+        right, _, _ = self._render_one(frame_idx, cam.baseline)
+        return left, right, inst, depth
+
 
 def offline_detection_rows(scene: SyntheticScene) -> np.ndarray:
     """Per-frame object detections in the reference's 1x24-row layout
-    (reference src/Tracking.cc:574-610):
-
-    [0] frame_id [1] track_id [2] truncated [3] occluded [4] alpha
-    [5:9] bbox (x, y, w, h) [9:12] dims (l? h? — ref stores dimensions[0:3]
-    as read h,w,l reordered; we store (d0, d1, d2) = (length, height, width)
-    to match its index use) [12:15] location in CAMERA frame [15] rotation_y
-    [16] score [17] type_id [18] is_moving [19] extend [20:24] zeros.
-
-    Returns array (n_rows, 24); frames with no objects get a single row with
-    track_id = -1 like the reference's padding.
-    """
+    (reference src/Tracking.cc:574-610). Frames with no objects get a single
+    row with track_id = -1 like the reference's padding."""
     cam = scene.camera
     rows = []
     for f in range(scene.n_frames):
         T_cw = np.linalg.inv(scene.poses_world[f])
         any_obj = False
         for obj in scene.objects:
+            if f >= len(obj.poses_world):
+                continue
             T_co = T_cw @ obj.poses_world[f]
             center = T_co[:3, 3]
             if center[2] < 1.0:
                 continue
-            # project box corners for the 2D bbox
             hx, hy, hz = obj.dims / 2
             corners = np.array(
                 [
@@ -323,18 +389,14 @@ def offline_detection_rows(scene: SyntheticScene) -> np.ndarray:
             row = np.zeros(24)
             row[0] = f
             row[1] = obj.track_id
-            row[2] = 0.0  # truncated
-            row[3] = 0.0  # occluded
-            row[4] = 0.0  # alpha
             row[5:9] = [x0c, y0c, x1c - x0c, y1c - y0c]
-            # dims ordering matches reference row: [9]=d_len, [10]=d_h, [11]=d_w
-            row[9] = obj.dims[2]
-            row[10] = obj.dims[1]
-            row[11] = obj.dims[0]
+            row[9] = obj.dims[2]   # length
+            row[10] = obj.dims[1]  # height
+            row[11] = obj.dims[0]  # width
             row[12:15] = center
             row[15] = rot_y
-            row[16] = 1.0  # score
-            row[17] = 1.0  # type_id: vehicle
+            row[16] = 1.0
+            row[17] = 1.0
             row[18] = float(obj.is_moving)
             rows.append(row)
             any_obj = True

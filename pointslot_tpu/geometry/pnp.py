@@ -123,6 +123,52 @@ def pnp_ransac(
                         ok=n_out >= min_inliers)
 
 
+@partial(jax.jit, static_argnames=("n_hypotheses", "with_scale", "min_inliers"))
+def rigid_ransac(
+    src: jnp.ndarray,            # (N, 3)
+    dst: jnp.ndarray,            # (N, 3)
+    valid: jnp.ndarray,          # (N,) bool
+    key: jax.Array,
+    inlier_threshold: float = 0.3,
+    n_hypotheses: int = 64,
+    with_scale: bool = False,
+    min_inliers: int = 12,
+):
+    """3-point Horn RANSAC for rigid (or Sim3) 3D-3D alignment — the
+    reference's Sim3Solver::iterate (src/Sim3Solver.cc) with hypotheses
+    solved in parallel via vmap. Returns RansacResult with T = [sR | t].
+    """
+    N = src.shape[0]
+    logits = jnp.where(valid, 0.0, -1e9)
+    keys = jax.random.split(key, n_hypotheses)
+    idx = jax.vmap(lambda k: jax.random.categorical(k, logits, shape=(3,)))(keys)
+
+    def solve_one(sel):
+        w = jnp.zeros((N,)).at[sel].set(1.0) * valid.astype(jnp.float32)
+        s, R, t = umeyama(src, dst, w, with_scale=with_scale)
+        return se3.rt_to_mat(s * R, t)
+
+    Ts = jax.vmap(solve_one)(idx)                              # (K, 4, 4)
+    pred = jnp.einsum("kij,nj->kni", Ts[:, :3, :3], src) + Ts[:, None, :3, 3]
+    err = jnp.linalg.norm(pred - dst[None], axis=-1)
+    inl = (err < inlier_threshold) & valid[None, :]
+    scores = jnp.sum(inl.astype(jnp.int32), axis=1)
+    best = jnp.argmax(scores)
+
+    # refine on the best inlier set
+    s, R, t = umeyama(src, dst, inl[best].astype(jnp.float32), with_scale=with_scale)
+    T_ref = se3.rt_to_mat(s * R, t)
+    pred = src @ (s * R).T + t
+    inl_ref = (jnp.linalg.norm(pred - dst, axis=-1) < inlier_threshold) & valid
+    n_ref = jnp.sum(inl_ref.astype(jnp.int32))
+    use_ref = n_ref >= scores[best]
+    T_out = jnp.where(use_ref, T_ref, Ts[best])
+    inl_out = jnp.where(use_ref, inl_ref, inl[best])
+    n_out = jnp.maximum(n_ref, scores[best])
+    return RansacResult(T=T_out, inliers=inl_out, n_inliers=n_out,
+                        ok=n_out >= min_inliers)
+
+
 def umeyama(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray, with_scale: bool = False
 ):

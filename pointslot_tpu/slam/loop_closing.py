@@ -1,0 +1,303 @@
+"""Loop detection, geometric verification and loop correction.
+
+Replaces the reference's KeyFrameDatabase (reference
+src/KeyFrameDatabase.cc: BoW inverted index, DetectLoopCandidates,
+DetectRelocalizationCandidates) and the LoopClosing thread
+(reference src/LoopClosing.cc: DetectLoop :106 with 3-consistent
+covisibility groups, ComputeSim3 :234 RANSAC + refine, CorrectLoop :405
+pose propagation + SearchAndFuse + OptimizeEssentialGraph; stereo fixes
+scale, so the Sim3 degenerates to SE(3)).
+
+TPU design: the database is a dense (K, W) tf-idf matrix — a whole-database
+similarity query is one matvec; geometric verification is the vmapped
+3-point Horn RANSAC on stereo-unprojected 3D-3D matches; the essential
+graph is solvers/posegraph.py's batched GN.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointslot_tpu.config import SystemConfig
+from pointslot_tpu.geometry import pnp
+from pointslot_tpu.slam import matchers
+from pointslot_tpu.slam.map_state import MapState
+from pointslot_tpu.solvers import posegraph
+from pointslot_tpu.vocab.bow import BinaryVocabulary
+
+
+class KeyFrameDatabase:
+    """Dense BoW database over the keyframe table."""
+
+    def __init__(self, vocab: BinaryVocabulary, max_kfs: int):
+        self.vocab = vocab
+        self.vectors = np.zeros((max_kfs, vocab.n_words), np.float32)
+        self.present = np.zeros(max_kfs, bool)
+
+    def add(self, kf: int, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        vec, _ = self.vocab.transform(desc, valid)
+        self.vectors[kf] = np.asarray(vec)
+        self.present[kf] = True
+        return self.vectors[kf]
+
+    def remove(self, kf: int):
+        self.present[kf] = False
+
+    def query(self, vec: np.ndarray, exclude: Set[int], min_score: float) -> List[int]:
+        scores = 1.0 - 0.5 * np.abs(self.vectors - vec[None, :]).sum(axis=1)
+        scores[~self.present] = -1.0
+        for k in exclude:
+            if 0 <= k < len(scores):
+                scores[k] = -1.0
+        ids = np.nonzero(scores >= min_score)[0]
+        return list(ids[np.argsort(-scores[ids])])
+
+
+class LoopCloser:
+    def __init__(self, config: SystemConfig, map_state: MapState,
+                 vocab: BinaryVocabulary):
+        self.cfg = config
+        self.map = map_state
+        self.vocab = vocab
+        self.db = KeyFrameDatabase(vocab, map_state.max_kfs)
+        self._consistent_groups: List[tuple] = []  # (set_of_kfs, count)
+        self.loops_closed = 0
+        self.last_loop_kf = -10 ** 9
+        self.on_loop_closed = None  # callback(corrections dict)
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, kf: int) -> bool:
+        """Add to database; attempt detection + correction. Returns True if
+        a loop was closed."""
+        m = self.map
+        vec = self.db.add(kf, m.kf_desc[kf], m.kf_feat_valid[kf])
+        if not self.cfg.loop.enabled:
+            return False
+        if m.n_keyframes() < 10 or kf - self.last_loop_kf < 10:
+            return False
+
+        candidate = self._detect_loop(kf, vec)
+        if candidate is None:
+            return False
+        ok, T_lc = self._geometric_verification(kf, candidate)
+        if not ok:
+            return False
+        self._correct_loop(kf, candidate, T_lc)
+        self.loops_closed += 1
+        self.last_loop_kf = kf
+        return True
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf: int, vec: np.ndarray) -> Optional[int]:
+        m = self.map
+        neighbors = m.covisible_keyframes(kf, min_weight=15)
+        if len(neighbors) == 0:
+            return None
+        # min similarity to the covisible neighborhood sets the query floor
+        neigh_scores = [
+            1.0 - 0.5 * np.abs(self.db.vectors[n] - vec).sum() for n in neighbors
+        ]
+        min_score = max(min(neigh_scores), 0.0)
+        exclude = set(int(n) for n in neighbors) | {kf}
+        candidates = self.db.query(vec, exclude, min_score)
+        # drop candidates too recent in time (KITTI: avoid adjacent frames)
+        candidates = [
+            c for c in candidates
+            if abs(int(m.kf_frame_id[c]) - int(m.kf_frame_id[kf])) > 20
+        ]
+        if not candidates:
+            self._consistent_groups = []
+            return None
+
+        # covisibility-consistency across consecutive detections (the
+        # reference requires 3 consecutive consistent detections)
+        confirmed = None
+        new_groups = []
+        for c in candidates[:5]:
+            group = set(int(x) for x in m.covisible_keyframes(c, min_weight=15))
+            group.add(int(c))
+            count = 0
+            for prev_group, prev_count in self._consistent_groups:
+                if group & prev_group:
+                    count = prev_count + 1
+                    break
+            new_groups.append((group, count))
+            if count + 1 >= self.cfg.loop.covisibility_consistency_th and confirmed is None:
+                confirmed = int(c)
+        self._consistent_groups = new_groups
+        return confirmed
+
+    # ------------------------------------------------------------------
+    def _geometric_verification(self, kf: int, cand: int):
+        """Brute descriptor match + stereo-unprojected 3D-3D RANSAC.
+        Returns (ok, T_lc) with X_cand = T_lc @ X_cur (camera frames)."""
+        m = self.map
+        res = matchers.brute_match(
+            jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_angle[kf]),
+            jnp.asarray(m.kf_feat_valid[kf] & (m.kf_depth[kf] > 0)),
+            jnp.asarray(m.kf_desc[cand]), jnp.asarray(m.kf_angle[cand]),
+            jnp.asarray(m.kf_feat_valid[cand] & (m.kf_depth[cand] > 0)),
+            nn_ratio=0.75, th_desc=matchers.TH_LOW, check_rotation=True,
+        )
+        idx = np.asarray(res.idx_b_for_a)
+        sel = np.nonzero(idx >= 0)[0]
+        if len(sel) < self.cfg.loop.min_sim3_inliers:
+            return False, None
+        cam = self.cfg.camera
+
+        def unproject(k, feats):
+            z = m.kf_depth[k, feats]
+            x = (m.kf_xy[k, feats, 0] - cam.cx) * z / cam.fx
+            y = (m.kf_xy[k, feats, 1] - cam.cy) * z / cam.fy
+            return np.stack([x, y, z], axis=1)
+
+        src = unproject(kf, sel)                      # current cam frame
+        dst = unproject(cand, idx[sel])               # candidate cam frame
+        N = 512
+        pad_src = np.zeros((N, 3), np.float32)
+        pad_dst = np.zeros((N, 3), np.float32)
+        valid = np.zeros(N, bool)
+        n = min(len(src), N)
+        pad_src[:n], pad_dst[:n], valid[:n] = src[:n], dst[:n], True
+        result = pnp.rigid_ransac(
+            jnp.asarray(pad_src), jnp.asarray(pad_dst), jnp.asarray(valid),
+            jax.random.PRNGKey(kf),
+            inlier_threshold=0.4,
+            n_hypotheses=self.cfg.loop.sim3_ransac_iters,
+            with_scale=not self.cfg.loop.fix_scale,
+            min_inliers=self.cfg.loop.min_sim3_inliers,
+        )
+        if not bool(result.ok):
+            return False, None
+        return True, np.asarray(result.T, np.float64)
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf: int, cand: int, T_lc: np.ndarray):
+        """Essential-graph optimization with the loop constraint; map points
+        move with their reference keyframes."""
+        m = self.map
+        kf_ids = m.keyframe_ids()
+        K = len(kf_ids)
+        row = {int(k): i for i, k in enumerate(kf_ids)}
+        old_poses = m.kf_pose[kf_ids].astype(np.float64).copy()
+
+        e_i, e_j, meas, weight = [], [], [], []
+        # sequential (spanning-tree analog) edges in frame order
+        order = np.argsort(m.kf_frame_id[kf_ids])
+        seq = [int(kf_ids[o]) for o in order]
+        for a, b in zip(seq[1:], seq[:-1]):
+            e_i.append(row[a]); e_j.append(row[b])
+            meas.append(m.kf_pose[a].astype(np.float64) @ np.linalg.inv(m.kf_pose[b]))
+            weight.append(1.0)
+        # strong covisibility edges
+        for k in kf_ids:
+            for c in m.covisible_keyframes(int(k), min_weight=100):
+                if int(c) > int(k):
+                    e_i.append(row[int(k)]); e_j.append(row[int(c)])
+                    meas.append(
+                        m.kf_pose[int(k)].astype(np.float64)
+                        @ np.linalg.inv(m.kf_pose[int(c)])
+                    )
+                    weight.append(1.0)
+        # the loop edge: corrected T_cur = inv(T_lc) @ T_cand
+        e_i.append(row[kf]); e_j.append(row[cand])
+        meas.append(np.linalg.inv(T_lc))
+        weight.append(20.0)
+
+        prob = posegraph.PoseGraphProblem(
+            poses=jnp.asarray(old_poses, jnp.float32),
+            fixed=jnp.asarray(kf_ids == cand),
+            valid=jnp.ones(K, bool),
+            e_i=jnp.asarray(e_i, jnp.int32),
+            e_j=jnp.asarray(e_j, jnp.int32),
+            e_meas=jnp.asarray(np.stack(meas), jnp.float32),
+            e_weight=jnp.asarray(weight, jnp.float32),
+            e_valid=jnp.ones(len(e_i), bool),
+        )
+        new_poses = np.asarray(
+            posegraph.optimize_pose_graph(prob, n_iters=self.cfg.loop.pose_graph_cg_iters // 5),
+            np.float64,
+        )
+
+        # move map points with their reference keyframe's correction
+        corrections = {}
+        for i, k in enumerate(kf_ids):
+            corrections[int(k)] = (old_poses[i], new_poses[i])
+            m.kf_pose[int(k)] = new_poses[i].astype(np.float32)
+        pts = np.nonzero(m.pt_valid)[0]
+        for p in pts:
+            ref = int(m.pt_first_kf[p])
+            if ref not in corrections:
+                obs_kfs = np.nonzero(m.obs[p])[0]
+                if len(obs_kfs) == 0:
+                    continue
+                ref = int(obs_kfs[0])
+                if ref not in corrections:
+                    continue
+            T_old, T_new = corrections[ref]
+            X = m.pt_pos[p]
+            Xc = T_old[:3, :3] @ X + T_old[:3, 3]
+            T_wc_new = np.linalg.inv(T_new)
+            m.pt_pos[p] = T_wc_new[:3, :3] @ Xc + T_wc_new[:3, 3]
+        if self.on_loop_closed:
+            self.on_loop_closed(corrections)
+
+
+class Relocalizer:
+    """BoW candidate search + PnP-RANSAC recovery from LOST
+    (reference Tracking::Relocalization src/Tracking.cc:3502-3663)."""
+
+    def __init__(self, config: SystemConfig, map_state: MapState,
+                 db: KeyFrameDatabase):
+        self.cfg = config
+        self.map = map_state
+        self.db = db
+
+    def relocalize(self, frame) -> bool:
+        m = self.map
+        vec, _ = self.db.vocab.transform(frame.desc, frame.valid)
+        candidates = self.db.query(np.asarray(vec), set(), min_score=0.015)[:5]
+        cam = self.cfg.camera
+        for cand in candidates:
+            res = matchers.brute_match(
+                jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+                jnp.asarray(frame.valid),
+                jnp.asarray(m.kf_desc[cand]), jnp.asarray(m.kf_angle[cand]),
+                jnp.asarray(m.kf_feat_valid[cand] & (m.kf_point_idx[cand] >= 0)),
+                nn_ratio=0.75, th_desc=matchers.TH_LOW, check_rotation=True,
+            )
+            idx = np.asarray(res.idx_b_for_a)
+            sel = np.nonzero(idx >= 0)[0]
+            if len(sel) < 15:
+                continue
+            pts = m.kf_point_idx[cand, idx[sel]]
+            ok = m.pt_valid[pts]
+            sel, pts = sel[ok], pts[ok]
+            if len(sel) < 15:
+                continue
+            N = 512
+            p3 = np.zeros((N, 3), np.float32)
+            uv = np.zeros((N, 2), np.float32)
+            valid = np.zeros(N, bool)
+            n = min(len(sel), N)
+            p3[:n] = m.pt_pos[pts[:n]]
+            uv[:n] = frame.xy[sel[:n]]
+            valid[:n] = True
+            result = pnp.pnp_ransac(
+                jnp.asarray(p3), jnp.asarray(uv), jnp.asarray(valid),
+                jax.random.PRNGKey(int(frame.frame_id)),
+                float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                min_inliers=15,
+            )
+            if bool(result.ok):
+                frame.T_cw = np.asarray(result.T, np.float32)
+                bind = np.full(len(frame.xy), -1, np.int64)
+                inl = np.asarray(result.inliers)[:n]
+                bind[sel[:n][inl]] = pts[:n][inl]
+                frame.point_idx = bind
+                return True
+        return False

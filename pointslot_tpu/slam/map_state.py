@@ -27,6 +27,7 @@ class MapState:
     # --- keyframes -----------------------------------------------------
     kf_pose: np.ndarray = None          # (K, 4, 4) T_cw
     kf_valid: np.ndarray = None         # (K,) bool
+    kf_uid: np.ndarray = None           # (K,) int64 monotonic id (slots recycle)
     kf_frame_id: np.ndarray = None      # (K,) int64
     kf_xy: np.ndarray = None            # (K, N, 2) float32
     kf_level: np.ndarray = None         # (K, N) int32
@@ -56,7 +57,9 @@ class MapState:
         K, M, N = self.max_kfs, self.max_points, self.feats_per_kf
         self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         self.kf_valid = np.zeros(K, bool)
+        self.kf_uid = np.full(K, -1, np.int64)
         self.kf_frame_id = np.zeros(K, np.int64)
+        self._next_uid = 0
         self.kf_xy = np.zeros((K, N, 2), np.float32)
         self.kf_level = np.zeros((K, N), np.int32)
         self.kf_desc = np.zeros((K, N, 8), np.uint32)
@@ -78,12 +81,18 @@ class MapState:
         self.obs = np.zeros((M, K), bool)
 
     # ------------------------------------------------------------------
+    def reset(self):
+        """Clear everything (System/Tracking::Reset analog)."""
+        self.__post_init__()
+
     def alloc_keyframe(self) -> int:
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
             raise RuntimeError("keyframe table full")
         k = int(free[0])
         self.kf_valid[k] = True
+        self.kf_uid[k] = self._next_uid
+        self._next_uid += 1
         return k
 
     def alloc_points(self, n: int) -> np.ndarray:
@@ -121,6 +130,8 @@ class MapState:
         self.obs[pt_idx, :] = False
 
     def remove_keyframe(self, kf: int):
+        if getattr(self, "on_remove_keyframe", None):
+            self.on_remove_keyframe(kf)
         pts = self.kf_point_idx[kf]
         bound = pts[pts >= 0]
         self.obs[bound, kf] = False

@@ -33,6 +33,19 @@ class System:
         self.tracker = CameraTracker(self.cfg, self.map)
         self.local_mapper = LocalMapper(self.cfg, self.map)
         self.tracker.new_kf_callback = self._on_new_keyframe
+        self.tracker.reset_callback = self._on_reset
+        self.loop_closer = None
+        if self.cfg.loop.enabled:
+            from pointslot_tpu.slam.loop_closing import LoopCloser, Relocalizer
+            from pointslot_tpu.vocab.bow import train_default_vocab
+
+            vocab = train_default_vocab()
+            self.loop_closer = LoopCloser(self.cfg, self.map, vocab)
+            self.loop_closer.on_loop_closed = self._on_loop_closed
+            self.tracker.relocalizer = Relocalizer(
+                self.cfg, self.map, self.loop_closer.db
+            )
+        self.map.on_remove_keyframe = self._on_keyframe_removed
         self.frame_times = []
         self.timestamps = []
         self._object_system = None
@@ -46,6 +59,33 @@ class System:
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf: int):
         self.local_mapper.process_keyframe(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe(kf)
+
+    def _on_loop_closed(self, corrections):
+        # pose landscape changed under the tracker: drop the velocity model
+        # so the next frame re-anchors on the corrected reference keyframe
+        self.tracker.velocity = None
+        if self.tracker.last_frame is not None and self.tracker.ref_kf >= 0:
+            # re-express the last frame pose against the corrected ref KF
+            ref = self.tracker.ref_kf
+            if ref in corrections:
+                T_old, T_new = corrections[ref]
+                rel = self.tracker.last_frame.T_cw @ np.linalg.inv(
+                    T_old.astype(np.float32)
+                )
+                self.tracker.last_frame.T_cw = (rel @ T_new).astype(np.float32)
+
+    def _on_keyframe_removed(self, kf: int):
+        self.tracker.on_keyframe_removed(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.db.remove(kf)
+
+    def _on_reset(self):
+        self.tracker.reset()
+        self.local_mapper.recent_points.clear()
+        if self.loop_closer is not None:
+            self.loop_closer.db.present[:] = False
 
     # ------------------------------------------------------------------
     def track_stereo(self, left, right, timestamp: float, frame_id: int,

@@ -50,6 +50,7 @@ class FrameRecord:
 class TrajectoryEntry:
     frame_id: int
     ref_kf: int
+    ref_uid: int               # uid of the ref KF (slots recycle; uid doesn't)
     T_rel: np.ndarray          # T_cw_frame @ inv(T_cw_refkf)
     lost: bool = False
 
@@ -75,6 +76,9 @@ class CameraTracker:
             bf=float(cam.bf),
         )
         self.new_kf_callback = None  # set by System to trigger local mapping
+        self.relocalizer = None      # set by System when loop closing is on
+        self.reset_callback = None   # set by System (full map reset)
+        self.n_lost_frames = 0
 
     # ------------------------------------------------------------------
     def track(self, frame: FrameRecord) -> FrameRecord:
@@ -82,9 +86,20 @@ class CameraTracker:
         if self.state == TrackingState.NOT_INITIALIZED:
             self._stereo_initialization(frame)
         else:
-            # no velocity estimate yet -> window-free reference-KF tracking
-            # (the reference does the same via BoW search, src/Tracking.cc:1151)
-            if self.velocity is None:
+            if self.state == TrackingState.LOST:
+                # reference: relocalize via BoW + EPnP (src/Tracking.cc:3502);
+                # full reset if lost with a tiny map (src/Tracking.cc:1308)
+                ok = bool(self.relocalizer and self.relocalizer.relocalize(frame))
+                if not ok and (
+                    self.map.n_keyframes() <= self.cfg.tracking.reset_max_kfs_when_lost
+                    or self.relocalizer is None
+                ) and self.n_lost_frames > 3:
+                    if self.reset_callback:
+                        self.reset_callback()
+                        return frame
+            elif self.velocity is None:
+                # no velocity estimate yet -> window-free reference-KF
+                # tracking (the reference uses BoW search, src/Tracking.cc:1151)
                 ok = self._track_reference_keyframe(frame)
                 if not ok:
                     ok = self._track_with_motion_model(frame)
@@ -95,13 +110,20 @@ class CameraTracker:
             if ok:
                 ok = self._track_local_map(frame)
             if ok:
+                was_lost = self.state == TrackingState.LOST
                 self.state = TrackingState.OK
-                if self.last_frame is not None and self.last_frame.T_cw is not None:
+                self.n_lost_frames = 0
+                if (
+                    not was_lost
+                    and self.last_frame is not None
+                    and self.last_frame.T_cw is not None
+                ):
                     self.velocity = frame.T_cw @ np.linalg.inv(self.last_frame.T_cw)
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
             else:
                 self.state = TrackingState.LOST
+                self.n_lost_frames += 1
                 frame.T_cw = (
                     self.last_frame.T_cw.copy()
                     if self.last_frame is not None
@@ -115,6 +137,7 @@ class CameraTracker:
                 TrajectoryEntry(
                     frame_id=frame.frame_id,
                     ref_kf=self.ref_kf,
+                    ref_uid=int(self.map.kf_uid[self.ref_kf]),
                     T_rel=frame.T_cw @ np.linalg.inv(T_ref),
                     lost=self.state == TrackingState.LOST,
                 )
@@ -123,9 +146,46 @@ class CameraTracker:
         return frame
 
     # ------------------------------------------------------------------
+    def on_keyframe_removed(self, kf: int):
+        """Re-parent trajectory entries referencing a culled keyframe onto
+        its strongest covisible neighbor (the reference walks the spanning
+        tree: Trw = Trw * mTcp, src/System.cc:380-388)."""
+        uid = int(self.map.kf_uid[kf])
+        affected = [e for e in self.trajectory if e.ref_uid == uid]
+        if not affected:
+            return
+        neighbors = self.map.covisible_keyframes(kf, min_weight=1, max_n=1)
+        if len(neighbors) == 0:
+            valid = self.map.keyframe_ids()
+            valid = valid[valid != kf]
+            if len(valid) == 0:
+                return
+            neighbors = [valid[0]]
+        parent = int(neighbors[0])
+        T_kf = self.map.kf_pose[kf]
+        T_parent = self.map.kf_pose[parent]
+        T_bridge = T_kf @ np.linalg.inv(T_parent)
+        for e in affected:
+            e.T_rel = e.T_rel @ T_bridge
+            e.ref_kf = parent
+            e.ref_uid = int(self.map.kf_uid[parent])
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Full tracking reset: map cleared, state machine back to init
+        (reference Tracking::Reset src/Tracking.cc:3665)."""
+        self.map.reset()
+        self.state = TrackingState.NOT_INITIALIZED
+        self.last_frame = None
+        self.velocity = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = -10 ** 9
+        self.n_lost_frames = 0
+
+    # ------------------------------------------------------------------
     def _stereo_initialization(self, frame: FrameRecord):
         n_stereo = int(((frame.depth > 0) & frame.valid).sum())
-        if n_stereo < 500:
+        if n_stereo < self.cfg.tracking.min_init_stereo_features:
             return
         frame.T_cw = np.eye(4, dtype=np.float32)
         kf = self._store_keyframe(frame)

@@ -1,0 +1,180 @@
+"""Bag-of-binary-words place recognition as batched matmul lookup.
+
+Replaces DBoW2 (reference Thirdparty/DBoW2: TemplatedVocabulary<FORB> with
+a k^L tree, BowVector, FeatureVector, inverted index). TPU-native
+re-design: at SLOT scale a FLAT vocabulary of ~1k binary words is
+equivalent to the 10^6-word tree's useful resolution, and word assignment
+becomes ONE Hamming argmin — an int8 MXU matmul (ops/hamming.py) — instead
+of a tree descent. Keyframe similarity is a dense dot product of tf-idf
+vectors, so a whole-database query is one (K, W) x (W,) matvec.
+
+Training: binary k-means (majority-vote centroids) over sample descriptors;
+the reference instead ships a 140 MB pre-trained vocabulary binary
+(loadFromBinaryFile, reference src/System.cc:79) — load_orb_vocab_text can
+ingest that format's text export when available.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointslot_tpu.ops.hamming import hamming_table_popcount
+
+
+def _unpack_bits(desc: np.ndarray) -> np.ndarray:
+    """(N, 8) uint32 -> (N, 256) {0,1} uint8."""
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & 1
+    return bits.reshape(desc.shape[0], 256).astype(np.uint8)
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(N, 256) {0,1} -> (N, 8) uint32."""
+    b = bits.reshape(-1, 8, 32).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    return (b << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+
+
+class BinaryVocabulary:
+    def __init__(self, words: np.ndarray, idf: Optional[np.ndarray] = None):
+        self.words = np.asarray(words, np.uint32)          # (W, 8)
+        self.n_words = len(self.words)
+        self.idf = (
+            np.asarray(idf, np.float32)
+            if idf is not None
+            else np.ones(self.n_words, np.float32)
+        )
+        self._words_j = jnp.asarray(self.words)
+        self._idf_j = jnp.asarray(self.idf)
+        self._transform = jax.jit(self._transform_impl)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def train(cls, descriptors: np.ndarray, n_words: int = 512, iters: int = 8,
+              seed: int = 0) -> "BinaryVocabulary":
+        """Binary k-means: Hamming assignment + per-bit majority centroids."""
+        rng = np.random.default_rng(seed)
+        desc = np.unique(descriptors, axis=0)
+        if len(desc) < n_words:
+            reps = -(-n_words // max(len(desc), 1))
+            desc = np.tile(desc, (reps, 1))[: max(n_words, len(desc))]
+        centroids = desc[rng.choice(len(desc), n_words, replace=False)]
+        bits = _unpack_bits(desc)
+        for _ in range(iters):
+            d = np.asarray(
+                hamming_table_popcount(jnp.asarray(desc), jnp.asarray(centroids))
+            )
+            assign = d.argmin(axis=1)
+            new_centroids = centroids.copy()
+            for w in range(n_words):
+                members = bits[assign == w]
+                if len(members) == 0:
+                    new_centroids[w] = desc[rng.integers(len(desc))]
+                else:
+                    new_centroids[w] = _pack_bits(
+                        (members.mean(axis=0) > 0.5)[None, :].astype(np.uint8)
+                    )[0]
+            if np.array_equal(new_centroids, centroids):
+                break
+            centroids = new_centroids
+        # idf from training distribution
+        d = np.asarray(
+            hamming_table_popcount(jnp.asarray(desc), jnp.asarray(centroids))
+        )
+        assign = d.argmin(axis=1)
+        counts = np.bincount(assign, minlength=n_words).astype(np.float64)
+        idf = np.log(len(desc) / np.maximum(counts, 1.0)).astype(np.float32)
+        return cls(centroids, idf)
+
+    # ------------------------------------------------------------------
+    def _transform_impl(self, desc: jnp.ndarray, valid: jnp.ndarray):
+        d = hamming_table_popcount(desc, self._words_j)     # (N, W)
+        word = jnp.argmin(d, axis=1)
+        v = jnp.zeros((self.n_words,), jnp.float32).at[
+            jnp.where(valid, word, self.n_words)
+        ].add(1.0, mode="drop")
+        v = v * self._idf_j
+        n = jnp.linalg.norm(v, ord=1)
+        v = v / jnp.maximum(n, 1e-9)
+        return v, word.astype(jnp.int32)
+
+    def transform(self, desc, valid):
+        """(N, 8) descriptors -> (L1-normalized tf-idf (W,), word ids (N,))."""
+        return self._transform(jnp.asarray(desc), jnp.asarray(valid))
+
+    @staticmethod
+    def score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+        """DBoW2 L1 similarity in [0, 1]:
+        s = 1 - 0.5 * sum |v1/|v1| - v2/|v2||  (vectors already normalized)."""
+        return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+_default_vocab_cache = {}
+
+
+def train_default_vocab(seed: int = 0, n_words: int = 512,
+                        cache_dir: str = ".cache") -> BinaryVocabulary:
+    """Train a vocabulary from ORB descriptors of synthetic scenes — the
+    self-contained substitute for the reference's shipped ORBvoc binary.
+    Cached in-process and on disk."""
+    import os
+
+    key = (seed, n_words)
+    if key in _default_vocab_cache:
+        return _default_vocab_cache[key]
+    path = os.path.join(cache_dir, f"vocab_s{seed}_w{n_words}.npz")
+    if os.path.isfile(path):
+        z = np.load(path)
+        vocab = BinaryVocabulary(z["words"], z["idf"])
+        _default_vocab_cache[key] = vocab
+        return vocab
+
+    from pointslot_tpu.config import CameraConfig, ORBConfig
+    from pointslot_tpu.datasets.synthetic import SyntheticRenderer, make_scene
+    from pointslot_tpu.ops.orb import ORBExtractor
+
+    cam = CameraConfig()
+    all_desc = []
+    for s in range(2):
+        scene = make_scene(n_frames=3, n_points=2000, n_objects=2, seed=seed + s)
+        renderer = SyntheticRenderer(scene)
+        ext = ORBExtractor(cam.height, cam.width, ORBConfig())
+        for i in range(0, 3):
+            left, _, _ = renderer.render(i)
+            f = ext(jnp.asarray(left, jnp.float32))
+            all_desc.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    vocab = BinaryVocabulary.train(
+        np.concatenate(all_desc), n_words=n_words, seed=seed
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, words=vocab.words, idf=vocab.idf)
+    except OSError:
+        pass
+    _default_vocab_cache[key] = vocab
+    return vocab
+
+
+def load_orb_vocab_text(path: str) -> BinaryVocabulary:
+    """Load a DBoW2 text-format vocabulary (ORBvoc.txt): header 'k L s1 s2'
+    then one node per line: parent is_leaf 32-byte-descriptor weight.
+    Only the leaves (words) are kept — the flat lookup replaces the tree."""
+    with open(path) as f:
+        header = f.readline().split()
+        words = []
+        weights = []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            is_leaf = parts[1] in ("1", "True")
+            desc_bytes = np.asarray([int(x) for x in parts[2:34]], np.uint8)
+            if is_leaf:
+                words.append(desc_bytes.view(np.uint32))
+                weights.append(float(parts[34]))
+    return BinaryVocabulary(np.stack(words), np.asarray(weights, np.float32))

@@ -34,12 +34,12 @@ def test_hamming_identity_is_zero(rng):
 
 
 def test_stereo_frontend_depth_accuracy():
-    """Stereo matches on the synthetic scene must recover metric depth of the
-    splatted structure points."""
+    """Stereo matches on the synthetic scene must recover the renderer's
+    ground-truth depth map."""
     cam = CameraConfig()
     scene = make_scene(n_frames=1, n_points=1500, n_objects=0, seed=11, camera=cam)
     renderer = SyntheticRenderer(scene)
-    left, right, _ = renderer.render(0)
+    left, right, _, gt_depth = renderer.render_with_depth(0)
     fe = StereoFrontend(cam.height, cam.width, cam.fx, cam.bf)
     frame = fe(left, right)
 
@@ -47,24 +47,17 @@ def test_stereo_frontend_depth_accuracy():
     n_stereo = int(v.sum())
     assert n_stereo > 100, f"too few stereo matches: {n_stereo}"
 
-    # ground truth: project scene points, compare depth at matching pixels
-    T_cw = np.linalg.inv(scene.poses_world[0])
-    pts_c = (T_cw[:3, :3] @ scene.points_world.T).T + T_cw[:3, 3]
-    z = pts_c[:, 2]
-    ok = z > 0.25
-    u = cam.fx * pts_c[ok, 0] / z[ok] + cam.cx
-    vv = cam.fy * pts_c[ok, 1] / z[ok] + cam.cy
-    gt_uvz = np.stack([u, vv, z[ok]], axis=1)
-
     xy = np.asarray(frame.xy)[v]
     depth = np.asarray(frame.depth)[v]
-    # match each stereo feature to nearest GT projection
     errs = []
     for (x, y), d in zip(xy, depth):
-        dist2 = (gt_uvz[:, 0] - x) ** 2 + (gt_uvz[:, 1] - y) ** 2
-        j = np.argmin(dist2)
-        if dist2[j] < 2.0 ** 2 and gt_uvz[j, 2] < 40:
-            errs.append(abs(d - gt_uvz[j, 2]) / gt_uvz[j, 2])
+        xi, yi = int(round(x)), int(round(y))
+        win = gt_depth[max(yi - 2, 0) : yi + 3, max(xi - 2, 0) : xi + 3]
+        gt = np.median(win)
+        # skip depth discontinuities and far geometry
+        if gt > 40 or (win.max() - win.min()) > 0.5 * gt:
+            continue
+        errs.append(abs(d - gt) / gt)
     errs = np.array(errs)
     assert len(errs) > 50, f"too few depth-verifiable matches: {len(errs)}"
     assert np.median(errs) < 0.05, f"median relative depth error {np.median(errs):.3f}"

@@ -26,10 +26,15 @@ def slot_run():
     # mode-4 parity settings (the reference KITTI yaml sets
     # EbSetInitPositionByPoints <= 0, i.e. object origin = offline GT center),
     # plus lowered feature thresholds for the small synthetic objects
-    cfg = cfg.replace(objects=cfg.objects.__class__(
-        **{**cfg.objects.__dict__, "init_min_features": 10, "init_min_map_points": 8,
-           "min_tracked_points": 8, "track_min_features": 10,
-           "set_init_position_by_points": False}))
+    cfg = cfg.replace(
+        objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "init_min_features": 10,
+               "init_min_map_points": 8, "min_tracked_points": 8,
+               "track_min_features": 10, "set_init_position_by_points": False}),
+        # synthetic corridor with objects masked out yields ~450 stereo feats
+        tracking=cfg.tracking.__class__(
+            **{**cfg.tracking.__dict__, "min_init_stereo_features": 350}),
+    )
     system = System(cfg)
     for i in range(N_FRAMES):
         left, right, inst = renderer.render(i)
