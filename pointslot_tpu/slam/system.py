@@ -56,6 +56,30 @@ class System:
 
             self._object_system = ObjectSystem(self.cfg, self)
 
+        # mode 3: online detector + MOT association in-loop
+        self.detector = None
+        self.mot = None
+        if self.cfg.slot_mode == SLOTMode.AUTONOMOUS_DRIVING:
+            from pointslot_tpu.detect.deepsort import DeepSort
+            from pointslot_tpu.detect.reid import ReIDEmbedder
+            from pointslot_tpu.detect.yolo import Detector
+
+            det_cfg = self.cfg.detector
+            self.detector = Detector(
+                input_size=det_cfg.input_size, conf=det_cfg.conf_threshold,
+                iou=det_cfg.iou_threshold, keep_classes=det_cfg.keep_classes,
+            )
+            if det_cfg.weights_path:
+                self.detector.load_npz(det_cfg.weights_path)
+            embedder = ReIDEmbedder(feature_dim=det_cfg.reid_feature_dim)
+            self.mot = DeepSort(det_cfg, embedder=embedder)
+        # mode 2: manual-ROI template tracking
+        self.roi_tracker = None
+        if self.cfg.slot_mode == SLOTMode.MANUAL_TRACKING:
+            from pointslot_tpu.detect.tracker2d import MultiTracker2D
+
+            self.roi_tracker = MultiTracker2D()
+
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf: int):
         self.local_mapper.process_keyframe(kf)
@@ -96,6 +120,30 @@ class System:
         2/3/4; mode 1 uses the mask to suppress dynamic features.
         """
         t0 = time.perf_counter()
+        left = np.asarray(left)
+        right = np.asarray(right)
+
+        # mode 3: run the detection + association pipeline in-loop
+        if (
+            self.cfg.slot_mode == SLOTMode.AUTONOMOUS_DRIVING
+            and detections is None
+            and self.detector is not None
+        ):
+            raw = self.detector.run(left)
+            tracks = self.mot.update(raw, left)
+            detections = self._tracks_to_detections(tracks, frame_id)
+            instance_mask = self._mask_from_detections(detections, left.shape)
+        # mode 2: carry the user ROIs with the template tracker
+        elif self.cfg.slot_mode == SLOTMode.MANUAL_TRACKING and detections is None:
+            if self.roi_tracker is not None and self.roi_tracker.tracks:
+                live = self.roi_tracker.update(left)
+                detections = self._tracks_to_detections(
+                    [{"track_id": t.track_id, "bbox": t.bbox, "class_id": 2}
+                     for t in live],
+                    frame_id,
+                )
+                instance_mask = self._mask_from_detections(detections, left.shape)
+
         gate = None
         if self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM and instance_mask is not None:
             gate = instance_mask == 0
@@ -119,6 +167,13 @@ class System:
             valid=np.asarray(sf.valid),
             point_idx=np.full(sf.xy.shape[0], -1, np.int64),
         )
+        if gate is not None:
+            # exact per-feature mask check at level-0 coords — coarse-level
+            # gating leaks a few boundary features (reference AssignFeatures
+            # filters by mask value at the keypoint, src/Frame.cc:810-844)
+            yi = np.clip(np.round(frame.xy[:, 1]).astype(int), 0, gate.shape[0] - 1)
+            xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, gate.shape[1] - 1)
+            frame.valid = frame.valid & np.asarray(gate)[yi, xi]
         self.tracker.track(frame)
         self.timestamps.append(timestamp)
 
@@ -131,6 +186,54 @@ class System:
         return frame
 
     # ------------------------------------------------------------------
+    def select_rois(self, img, rois):
+        """Mode 2: register user-drawn ROIs on the current frame (the
+        reference's cv::selectROIs at src/Frame.cc:1537). rois: list of
+        (x, y, w, h)."""
+        if self.roi_tracker is None:
+            raise RuntimeError("ROI tracking requires SLOT mode 2")
+        return [self.roi_tracker.add(np.asarray(img), r) for r in rois]
+
+    def _tracks_to_detections(self, tracks, frame_id: int):
+        from pointslot_tpu.slam.objects import Detection
+
+        dets = []
+        for k, t in enumerate(tracks):
+            bbox = np.asarray(t["bbox"], np.float64)
+            dims = np.asarray(
+                [self.cfg.objects.uniform_scale[2],   # length
+                 self.cfg.objects.uniform_scale[1],   # height
+                 self.cfg.objects.uniform_scale[0]],  # width
+                np.float64,
+            )
+            dets.append(Detection(
+                frame_id=frame_id,
+                track_id=int(t["track_id"]),
+                bbox=bbox,
+                dims=dims,
+                location_cam=np.zeros(3),
+                rotation_y=0.0,
+                mask_value=k + 1,
+                score=float(t.get("score", 1.0)),
+            ))
+        return dets
+
+    def _mask_from_detections(self, detections, shape):
+        """Rectangle instance mask, boxes shrunk by narrow_bbox_px
+        (reference EnNarrowBBoxPixelValue, src/Frame.cc:2595-2616)."""
+        mask = np.zeros(shape[:2], np.int32)
+        n = self.cfg.objects.narrow_bbox_px
+        order = sorted(
+            detections, key=lambda d: d.bbox[2] * d.bbox[3], reverse=True
+        )
+        for det in order:
+            x, y, w, h = det.bbox
+            x0 = int(max(x + n, 0)); y0 = int(max(y + n, 0))
+            x1 = int(min(x + w - n, shape[1])); y1 = int(min(y + h - n, shape[0]))
+            if x1 > x0 and y1 > y0:
+                mask[y0:y1, x0:x1] = det.mask_value
+        return mask
+
     @property
     def tracking_state(self):
         return self.tracker.state
