@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+from pointslot_tpu.native import hungarian
 
 from pointslot_tpu.config import DetectorConfig
 
@@ -199,9 +199,13 @@ class DeepSort:
                     )
                     cost[r, gd > GATING_THRESHOLD] = INFTY_COST
                     cost[r, cost[r] > self.cfg.max_cosine_distance] = INFTY_COST
-                rows, cols = linear_sum_assignment(cost)
-                for r, c in zip(rows, cols):
-                    if cost[r, c] < INFTY_COST:
+                assign = hungarian(cost) if cost.shape[0] <= cost.shape[1] else None
+                if assign is None:
+                    pairs = [(c, r) for r, c in enumerate(hungarian(cost.T))]
+                else:
+                    pairs = list(enumerate(assign))
+                for r, c in pairs:
+                    if c >= 0 and cost[r, c] < INFTY_COST:
                         matches.append((level[r], unmatched_dets[c]))
                 for ti, di in matches:
                     if di in unmatched_dets:
@@ -218,9 +222,13 @@ class DeepSort:
             t_boxes = np.stack([self.tracks[i].bbox for i in iou_candidates])
             cost = 1.0 - iou_matrix(t_boxes, det_boxes[unmatched_dets])
             cost[cost > self.cfg.max_iou_distance] = INFTY_COST
-            rows, cols = linear_sum_assignment(cost)
-            for r, c in zip(rows, cols):
-                if cost[r, c] < INFTY_COST:
+            assign = hungarian(cost) if cost.shape[0] <= cost.shape[1] else None
+            if assign is None:
+                pairs = [(c, r) for r, c in enumerate(hungarian(cost.T))]
+            else:
+                pairs = list(enumerate(assign))
+            for r, c in pairs:
+                if c >= 0 and cost[r, c] < INFTY_COST:
                     matches.append((iou_candidates[r], unmatched_dets[c]))
             for ti, di in matches:
                 if di in unmatched_dets:
