@@ -1,0 +1,117 @@
+"""CLI driver: run the SLOT system over a KITTI-tracking-format sequence or
+the built-in synthetic scene.
+
+Replaces the reference's Examples/Stereo/stereo_kitti.cc (arg parsing :49-70,
+LoadImages :175-245, per-frame loop :108-145 at the camera period, trajectory
+saves :163-166, timing stats :151-160).
+
+Usage:
+  python -m pointslot_tpu.run --data /path/to/kitti --sequence 0000 \
+      --config Examples/0000-0013.yaml --mode 4 --out out/
+  python -m pointslot_tpu.run --synthetic 30 --mode 4 --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="pointslot_tpu SLOT runner")
+    ap.add_argument("--data", help="KITTI tracking sequence root")
+    ap.add_argument("--sequence", default="0000")
+    ap.add_argument("--config", help="reference-schema YAML config")
+    ap.add_argument("--mode", type=int, default=None, help="SLOT mode 0-4")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--synthetic-objects", type=int, default=2)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-loop", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pointslot_tpu.config import SLOTMode, SystemConfig, load_yaml
+
+    cfg = SystemConfig()
+    if args.config:
+        cfg = load_yaml(args.config, base=cfg)
+    if args.mode is not None:
+        cfg = cfg.replace(slot_mode=args.mode)
+    if args.no_loop:
+        cfg = cfg.replace(loop=cfg.loop.__class__(
+            **{**cfg.loop.__dict__, "enabled": False}))
+
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        frames = _synthetic_frames(args, cfg)
+    else:
+        if not args.data:
+            ap.error("--data or --synthetic required")
+        frames = _kitti_frames(args, cfg)
+
+    from pointslot_tpu.slam.system import System
+
+    system = System(cfg)
+    n = 0
+    t0 = time.perf_counter()
+    for frame_id, ts, left, right, dets, inst in frames:
+        system.track_stereo(left, right, ts, frame_id,
+                            detections=dets, instance_mask=inst)
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+    wall = time.perf_counter() - t0
+
+    system.save_trajectory_kitti(os.path.join(args.out, "CameraTrajectory.txt"))
+    if system._object_system is not None:
+        system.save_object_detections_kitti(os.path.join(args.out, "ObjectDetections"))
+        system.save_trajectory_camera_and_objects(
+            os.path.join(args.out, "CameraAndObjectTrajectory.txt")
+        )
+    stats = system.shutdown()
+    stats.update({"frames": n, "wall_s": wall, "fps": n / max(wall, 1e-9)})
+    print(json.dumps(stats))
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return 0
+
+
+def _synthetic_frames(args, cfg):
+    from pointslot_tpu.datasets.synthetic import (
+        SyntheticRenderer, make_scene, offline_detection_rows,
+    )
+    from pointslot_tpu.slam.objects import Detection
+
+    scene = make_scene(n_frames=args.synthetic, camera=cfg.camera,
+                       n_objects=args.synthetic_objects)
+    renderer = SyntheticRenderer(scene)
+    rows = offline_detection_rows(scene)
+    for i in range(scene.n_frames):
+        left, right, inst = renderer.render(i)
+        dets = None
+        if cfg.slot_mode == 4:
+            frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+            dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
+                    for r in frame_rows]
+        yield i, i / cfg.camera.fps, left, right, dets, inst
+
+
+def _kitti_frames(args, cfg):
+    from pointslot_tpu.datasets.kitti import KittiTrackingSequence
+
+    seq = KittiTrackingSequence(args.data, args.sequence)
+    ts = seq.timestamps(cfg.camera.fps)
+    for i in range(len(seq)):
+        left, right, dets, inst = seq.load(i)
+        yield i, float(ts[i]), left, right, (dets if cfg.slot_mode == 4 else None), inst
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,10 +58,111 @@ class LocalMapper:
             self.recent_points.append(RecentPoint(pt=int(p), created_kf=self._kf_counter))
 
         self._cull_points()
+        self._triangulate_far_points(kf)
         self._fuse_neighbors(kf)
         if m.n_keyframes() > 2:
             self._local_ba(kf)
         self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+    def _triangulate_far_points(self, kf: int):
+        """Multi-view triangulation of features without stereo depth — the
+        far tail beyond th_depth (LocalMapping::CreateNewMapPoints,
+        reference src/LocalMapping.cc:414; close points come directly from
+        stereo unprojection at keyframe creation)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pointslot_tpu.geometry import triangulation as tri
+        from pointslot_tpu.slam import matchers
+
+        m = self.map
+        cam = self.cfg.camera
+        K = np.asarray(
+            [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float64
+        )
+        neighbors = m.covisible_keyframes(kf, min_weight=15, max_n=5)
+        if len(neighbors) == 0:
+            return
+        # candidate features: valid, unbound, no stereo depth (far)
+        far_k = m.kf_feat_valid[kf] & (m.kf_point_idx[kf] < 0) & (m.kf_depth[kf] <= 0)
+        if far_k.sum() < 10:
+            return
+        created = 0
+        for n in neighbors:
+            far_n = (
+                m.kf_feat_valid[n] & (m.kf_point_idx[n] < 0) & (m.kf_depth[n] <= 0)
+            )
+            if far_n.sum() < 10:
+                continue
+            baseline = np.linalg.norm(
+                (np.linalg.inv(m.kf_pose[kf]) @ m.kf_pose[n])[:3, 3]
+            )
+            if baseline < 0.3:
+                continue
+            res = matchers.brute_match(
+                jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_angle[kf]),
+                jnp.asarray(far_k),
+                jnp.asarray(m.kf_desc[n]), jnp.asarray(m.kf_angle[n]),
+                jnp.asarray(far_n),
+                nn_ratio=0.6, th_desc=matchers.TH_LOW, check_rotation=True,
+            )
+            idx = np.asarray(res.idx_b_for_a)
+            sel = np.nonzero(idx >= 0)[0]
+            if len(sel) < 5:
+                continue
+            P1 = jnp.asarray(K @ m.kf_pose[kf][:3, :4].astype(np.float64))
+            P2 = jnp.asarray(K @ m.kf_pose[n][:3, :4].astype(np.float64))
+            uv1 = jnp.asarray(m.kf_xy[kf, sel], jnp.float32)
+            uv2 = jnp.asarray(m.kf_xy[n, idx[sel]], jnp.float32)
+            X, well_posed = tri.triangulate(
+                jnp.broadcast_to(P1, (len(sel), 3, 4)),
+                jnp.broadcast_to(P2, (len(sel), 3, 4)), uv1, uv2,
+            )
+            X = np.asarray(X, np.float64)
+            ok = np.array(well_posed)  # writable host copy
+            # validate: positive depth + reprojection error in both views
+            for T, uv in ((m.kf_pose[kf], np.asarray(uv1)),
+                          (m.kf_pose[n], np.asarray(uv2))):
+                pc = X @ T[:3, :3].T.astype(np.float64) + T[:3, 3]
+                z = pc[:, 2]
+                u = cam.fx * pc[:, 0] / np.maximum(z, 1e-9) + cam.cx
+                v = cam.fy * pc[:, 1] / np.maximum(z, 1e-9) + cam.cy
+                err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+                ok &= (z > cam.depth_threshold * 0.5) & (err2 < 5.991 * 4.0)
+            good = np.nonzero(ok)[0]
+            if len(good) == 0:
+                continue
+            n_free = int((~m.pt_valid).sum())
+            good = good[: max(n_free - 64, 0)]
+            if len(good) == 0:
+                continue
+            pts_new = m.alloc_points(len(good))
+            m.pt_pos[pts_new] = X[good]
+            m.pt_desc[pts_new] = m.kf_desc[kf, sel[good]]
+            m.pt_first_kf[pts_new] = kf
+            m.pt_found[pts_new] = 2
+            m.pt_visible[pts_new] = 2
+            T_wc = np.linalg.inv(m.kf_pose[kf].astype(np.float64))
+            d = X[good] - T_wc[:3, 3]
+            dn = np.linalg.norm(d, axis=1, keepdims=True)
+            m.pt_normal[pts_new] = d / np.maximum(dn, 1e-9)
+            scale = self._scales[m.kf_level[kf, sel[good]]]
+            m.pt_max_dist[pts_new] = dn[:, 0] * scale
+            m.pt_min_dist[pts_new] = m.pt_max_dist[pts_new] / (
+                self.cfg.orb.scale_factor ** (self.cfg.orb.n_levels - 1)
+            )
+            m.bind(kf, sel[good], pts_new)
+            m.bind(n, idx[sel[good]], pts_new)
+            # mark as consumed so other neighbors don't re-create them
+            far_k[sel[good]] = False
+            for p in pts_new:
+                self.recent_points.append(
+                    RecentPoint(pt=int(p), created_kf=self._kf_counter)
+                )
+            created += len(good)
+            if created > 256:
+                break
 
     # ------------------------------------------------------------------
     def _cull_points(self):

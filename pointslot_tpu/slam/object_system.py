@@ -438,12 +438,52 @@ class ObjectSystem:
 
     # ------------------------------------------------------------------
     def _object_local_mapping(self, track: ObjectTrack, det: Detection):
-        """Culling + windowed object BA (ObjectLocalMapping thread analog)."""
+        """Culling + neighbor fuse + windowed object BA
+        (ObjectLocalMapping thread analog)."""
         okf_idx = len(track.keyframes) - 1
         self._cull_object_points(track, okf_idx)
+        self._fuse_object_neighbors(track, okf_idx)
         n_cov = len(track.covisible_keyframes(okf_idx, min_weight=5))
         if n_cov > self.cfg.objects.ba_min_covisible_kfs:
             self._object_ba(track, okf_idx)
+
+    def _fuse_object_neighbors(self, track: ObjectTrack, okf_idx: int):
+        """Bind the new object-KF's unmatched features to existing object
+        points by projection (ObjectLocalMapping::SearchInNeighbors two-level
+        fuse, reference src/ObjectLocalMapping.cpp:153-267)."""
+        okf = track.keyframes[okf_idx]
+        unbound = okf.point_idx < 0
+        if unbound.sum() < 5 or track.n_points() == 0:
+            return
+        F = len(okf.xy)
+
+        def fpad(a, fill=0):
+            out = np.full((F_CAP,) + a.shape[1:], fill, a.dtype)
+            out[: min(F, F_CAP)] = a[:F_CAP]
+            return out
+
+        res = matchers.project_and_match(
+            jnp.asarray(track.pt_pos, jnp.float32),
+            jnp.asarray(track.pt_desc),
+            jnp.asarray(track.pt_valid),
+            jnp.asarray(okf.T_co, jnp.float32),
+            jnp.asarray(fpad(okf.xy.astype(np.float32))),
+            jnp.asarray(fpad(okf.level.astype(np.int32))),
+            jnp.asarray(fpad(okf.desc)),
+            jnp.asarray(fpad(unbound, False)),
+            jnp.full((track.max_points,), 4.0, jnp.float32),
+            jnp.asarray(self._scales),
+            jnp.zeros(track.max_points, jnp.int32),
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            th_desc=matchers.TH_LOW,
+            **self._cam_args,
+        )
+        pf = np.asarray(res.point_for_feature)[:F]
+        feats = np.nonzero(pf >= 0)[0]
+        if len(feats):
+            okf.point_idx[feats] = pf[feats]
+            track.obs[pf[feats], okf_idx] = True
+            track.update_point_stats(pf[feats])
 
     def _cull_object_points(self, track: ObjectTrack, okf_idx: int):
         """found/visible < 0.25 or <3 obs shortly after creation

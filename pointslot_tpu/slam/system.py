@@ -10,6 +10,7 @@ RuntimeConfig.async_mapping for deferred batching).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -152,8 +153,17 @@ class System:
                                    SLOTMode.MANUAL_TRACKING)
             and instance_mask is not None
         ):
-            # object pipeline: background features must avoid object regions
+            # background features avoid object regions — EXCEPT objects the
+            # discriminator has settled as static, whose features are
+            # recovered for camera tracking (the reference's
+            # StaticPointRecoveryFromObj, src/Tracking.cc:2204-2254)
             gate = instance_mask == 0
+            if self._object_system is not None and detections:
+                for det in detections:
+                    tr = self._object_system.tracks.get(det.track_id)
+                    if tr is not None and not tr.dynamic and tr.track_ok and \
+                            len(tr.poses_cf) >= self.cfg.objects.dyn_hysteresis_votes:
+                        gate |= instance_mask == det.mask_value
 
         sf = self.frontend(left, right, gate=gate)
         frame = FrameRecord(
@@ -256,6 +266,32 @@ class System:
         write_object_detections_kitti(
             out_dir, self._object_system.export_detections(), len(self.timestamps)
         )
+
+    def save_trajectory_camera_and_objects(self, camera_path: str,
+                                           object_path_prefix: str = None):
+        """Camera trajectory + per-object world-frame trajectories in KITTI
+        rows (reference System::SaveTrajectoryKITTICameraAndObject
+        src/System.cc:544-631: T_wo recovered as inv(T_co @ T_cw) per frame;
+        the reference writes only the first object — we write one file per
+        track)."""
+        from pointslot_tpu.io.writers import write_trajectory_kitti
+
+        traj = self.camera_trajectory()
+        write_trajectory_kitti(camera_path, traj)
+        if self._object_system is None:
+            return
+        prefix = object_path_prefix or (os.path.splitext(camera_path)[0] + "_object")
+        pose_by_frame = {f: T for f, T, _ in traj}
+        for track in self._object_system.all_tracks:
+            rows = []
+            for f in sorted(track.poses_cf):
+                if f not in pose_by_frame:
+                    continue
+                T_cw = pose_by_frame[f]
+                T_ow = track.poses_cf[f] @ T_cw  # object-from-world
+                rows.append((f, T_ow, False))
+            if rows:
+                write_trajectory_kitti(f"{prefix}_{track.track_id}.txt", rows)
 
     def shutdown(self):
         med = float(np.median(self.frame_times)) if self.frame_times else 0.0
