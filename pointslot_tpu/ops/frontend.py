@@ -113,15 +113,64 @@ class StereoFrontend:
         fl = FeatureSet(*ext._extract_from_scores(levels_l, scores_l))
         fr = FeatureSet(*ext._extract_from_scores(levels_r, scores_r))
 
-        sm = stereo_match(
-            fl.xy, fl.level, fl.desc, fl.valid,
-            fr.xy, fr.level, fr.desc, fr.valid,
-            pad_pyramid_stack(levels_l), pad_pyramid_stack(levels_r),
-            self._lshapes, self._scales, self.fx, self.bf,
+        u_right, depth, valid_st = self._stereo_from_patches(
+            fl, fr, levels_l, levels_r
         )
         return (
             fl.xy, fl.response, fl.angle, fl.level, fl.desc, fl.valid,
-            sm.u_right, sm.depth,
+            u_right, depth,
+        )
+
+    def _stereo_from_patches(self, fl, fr, levels_l, levels_r):
+        """Stereo matching with the SAD windows fetched by the patch DMA
+        kernel: left features are laid out per-level (extraction order), so
+        each level's segment slices statically and reads its own pyramid
+        image — no pyramid-stack gathers."""
+        import numpy as np
+
+        from pointslot_tpu.ops import stereo as st
+        from pointslot_tpu.ops.pallas_patch import extract_patches
+
+        ext = self.extractor
+        best_idx, matched = st.stereo_candidates(
+            fl.xy, fl.level, fl.desc, fl.valid,
+            fr.xy, fr.level, fr.desc, fr.valid,
+            self._scales, self.fx,
+        )
+        ul, yl = fl.xy[:, 0], fl.xy[:, 1]
+        inv_scale = 1.0 / self._scales[fl.level]
+        u0r = jnp.take(fr.xy[:, 0], best_idx)
+        scaled_ul = jnp.round(ul * inv_scale).astype(jnp.int32)
+        scaled_vl = jnp.round(yl * inv_scale).astype(jnp.int32)
+        scaled_ur = jnp.round(u0r * inv_scale).astype(jnp.int32)
+
+        patches_l, patches_r = [], []
+        offset = 0
+        for lvl, budget in enumerate(ext.budgets):
+            seg = slice(offset, offset + budget)
+            offset += budget
+            patches_l.append(
+                extract_patches(levels_l[lvl], scaled_ul[seg], scaled_vl[seg],
+                                use_pallas=ext.use_pallas)
+            )
+            patches_r.append(
+                extract_patches(levels_r[lvl], scaled_ur[seg], scaled_vl[seg],
+                                use_pallas=ext.use_pallas)
+            )
+        patch_l = jnp.concatenate(patches_l, axis=0)
+        patch_r = jnp.concatenate(patches_r, axis=0)
+
+        lh = self._lshapes[fl.level, 0]
+        lw = self._lshapes[fl.level, 1]
+        in_bounds = (
+            (scaled_vl - st._W >= 0) & (scaled_vl + st._W < lh)
+            & (scaled_ul - st._W >= 0) & (scaled_ul + st._W < lw)
+            & (scaled_ur - st._W - st._L >= 0) & (scaled_ur + st._W + st._L < lw)
+        )
+        return st.sad_refine_from_patches(
+            patch_l, patch_r, scaled_ul, scaled_vl, scaled_ur,
+            ul, matched, in_bounds, self._scales[fl.level],
+            self.fx, self.bf,
         )
 
     def _run_impl(self, left, right):

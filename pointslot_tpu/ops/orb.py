@@ -78,15 +78,15 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> List[i
     return budgets
 
 
-def _orientation_offsets() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Flattened circular-patch offsets and moment weights."""
-    ys, xs = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
-    mask = (xs ** 2 + ys ** 2) <= (HALF_PATCH + 0.5) ** 2
-    return (
-        ys[mask].astype(np.int32),
-        xs[mask].astype(np.int32),
-        mask,
-    )
+def _moment_weights(patch: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(patch, patch) weight images for m10/m01 with the circular mask,
+    centered at (patch//2, patch//2)."""
+    half = patch // 2
+    ys, xs = np.mgrid[0:patch, 0:patch]
+    dy = (ys - half).astype(np.float32)
+    dx = (xs - half).astype(np.float32)
+    mask = (dx ** 2 + dy ** 2) <= (HALF_PATCH + 0.5) ** 2
+    return (dx * mask).astype(np.float32), (dy * mask).astype(np.float32)
 
 
 class ORBExtractor:
@@ -99,7 +99,10 @@ class ORBExtractor:
     """
 
     def __init__(self, height: int, width: int, config: Optional[ORBConfig] = None,
-                 capacity: Optional[int] = None, cell_size: int = 16):
+                 capacity: Optional[int] = None, cell_size: int = 16,
+                 use_pallas: Optional[bool] = None):
+        from pointslot_tpu.ops.pallas_patch import default_use_pallas
+
         self.config = config or ORBConfig()
         cfg = self.config
         self.height, self.width = height, width
@@ -112,12 +115,17 @@ class ORBExtractor:
             self.budgets[-1] += capacity - sum(self.budgets)
         self.capacity = sum(self.budgets)
         self.cell_size = cell_size
+        self.use_pallas = (
+            default_use_pallas() if use_pallas is None else use_pallas
+        )
         pat = brief_pattern()
-        self._pat_a = jnp.asarray(pat[:, 0:2], jnp.float32)  # (256, 2) x, y
-        self._pat_b = jnp.asarray(pat[:, 2:4], jnp.float32)
-        oy, ox, _ = _orientation_offsets()
-        self._ori_dy = jnp.asarray(oy)
-        self._ori_dx = jnp.asarray(ox)
+        # interleave a|b sample points: one (512, 2) table
+        self._pat = jnp.asarray(
+            np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0), jnp.float32
+        )
+        wx, wy = _moment_weights(48)
+        self._wx = jnp.asarray(wx)
+        self._wy = jnp.asarray(wy)
         self._extract = jax.jit(self._extract_impl)
         self._extract_masked = jax.jit(self._extract_masked_impl)
 
@@ -148,44 +156,57 @@ class ORBExtractor:
         top, ti = jax.lax.top_k(flat_scores, k)
         return top, jnp.take(flat_y, ti), jnp.take(flat_x, ti)
 
-    def _orientation(self, img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-        """Intensity-centroid angle for keypoints at integer (ys, xs)."""
-        h, w = img.shape
-        gy = jnp.clip(ys[:, None] + self._ori_dy[None, :], 0, h - 1)
-        gx = jnp.clip(xs[:, None] + self._ori_dx[None, :], 0, w - 1)
-        patch = img[gy, gx]                                    # (k, P)
-        m10 = jnp.sum(patch * self._ori_dx[None, :], axis=1)
-        m01 = jnp.sum(patch * self._ori_dy[None, :], axis=1)
+    def _orientation_from_patches(self, patches: jnp.ndarray):
+        """Intensity-centroid angle from raw (K, 48, 48) patches."""
+        m10 = jnp.einsum("krc,rc->k", patches, self._wx)
+        m01 = jnp.einsum("krc,rc->k", patches, self._wy)
         return jnp.arctan2(m01, m10)
 
-    def _descriptors(self, blurred: jnp.ndarray, ys, xs, angles):
-        """Steered BRIEF: sample rotated pattern on the blurred image."""
-        h, w = blurred.shape
-        ca, sa = jnp.cos(angles), jnp.sin(angles)              # (k,)
+    @staticmethod
+    def _blur_patches(patches: jnp.ndarray) -> jnp.ndarray:
+        """Separable 7x7 sigma-2 Gaussian on the patch batch (edge effects
+        confined to the outer 3px ring, outside the sampling reach)."""
+        k = jnp.asarray(pyr_ops._gaussian_kernel(7, 2.0))
+        x = patches[:, None, :, :]
+        x = jax.lax.conv_general_dilated(x, k[None, None, :, None], (1, 1), "SAME")
+        x = jax.lax.conv_general_dilated(x, k[None, None, None, :], (1, 1), "SAME")
+        return x[:, 0]
 
-        def rotate(p):                                         # p: (256, 2) x, y
-            rx = ca[:, None] * p[None, :, 0] - sa[:, None] * p[None, :, 1]
-            ry = sa[:, None] * p[None, :, 0] + ca[:, None] * p[None, :, 1]
-            return rx, ry                                      # (k, 256)
-
-        ax, ay = rotate(self._pat_a)
-        bx, by = rotate(self._pat_b)
-
-        def sample(px, py):
-            gx = jnp.clip(jnp.round(xs[:, None] + px).astype(jnp.int32), 0, w - 1)
-            gy = jnp.clip(jnp.round(ys[:, None] + py).astype(jnp.int32), 0, h - 1)
-            return blurred[gy, gx]                             # (k, 256)
-
-        bits = (sample(ax, ay) < sample(bx, by))               # (k, 256) bool
+    def _descriptors_from_patches(self, blurred_patches: jnp.ndarray, angles):
+        """Steered BRIEF with gather-free bilinear sampling: per-keypoint
+        2-hot row/col interpolation matrices contracted against the patch."""
+        K = blurred_patches.shape[0]
+        P = blurred_patches.shape[1]
+        half = P // 2
+        ca, sa = jnp.cos(angles), jnp.sin(angles)              # (K,)
+        px, py = self._pat[:, 0], self._pat[:, 1]              # (512,)
+        sx = half + ca[:, None] * px[None, :] - sa[:, None] * py[None, :]
+        sy = half + sa[:, None] * px[None, :] + ca[:, None] * py[None, :]
+        x0 = jnp.floor(sx); fx = (sx - x0)[..., None]
+        y0 = jnp.floor(sy); fy = (sy - y0)[..., None]
+        idx = jnp.arange(P, dtype=jnp.float32)[None, None, :]
+        Row = (
+            (idx == y0[..., None]) * (1.0 - fy) + (idx == y0[..., None] + 1) * fy
+        )                                                      # (K, 512, P)
+        Col = (
+            (idx == x0[..., None]) * (1.0 - fx) + (idx == x0[..., None] + 1) * fx
+        )
+        A = jnp.einsum("kir,krc->kic", Row, blurred_patches,
+                       precision=jax.lax.Precision.HIGHEST)
+        samples = jnp.einsum("kic,kic->ki", A, Col,
+                             precision=jax.lax.Precision.HIGHEST)  # (K, 512)
+        bits = samples[:, :256] < samples[:, 256:]
         powers = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
         packed = jnp.sum(
-            bits.reshape(bits.shape[0], 8, 32).astype(jnp.uint32) * powers[None, None, :],
+            bits.reshape(K, 8, 32).astype(jnp.uint32) * powers[None, None, :],
             axis=-1,
             dtype=jnp.uint32,
         )
-        return packed                                          # (k, 8) uint32
+        return packed                                          # (K, 8) uint32
 
     def _extract_from_scores(self, levels: List[jnp.ndarray], scores: List[jnp.ndarray]):
+        from pointslot_tpu.ops.pallas_patch import extract_patches
+
         cfg = self.config
         out_xy, out_resp, out_ang, out_lvl, out_desc, out_valid = [], [], [], [], [], []
         for lvl, (img_l, score) in enumerate(zip(levels, scores)):
@@ -198,9 +219,9 @@ class ORBExtractor:
             k = self.budgets[lvl]
             top, ys, xs = self._select_cells(score, k)
             valid = top > 0.0
-            angle = self._orientation(img_l, ys, xs)
-            blurred = pyr_ops.gaussian_blur(img_l)
-            desc = self._descriptors(blurred, ys, xs, angle)
+            patches = extract_patches(img_l, xs, ys, use_pallas=self.use_pallas)
+            angle = self._orientation_from_patches(patches)
+            desc = self._descriptors_from_patches(self._blur_patches(patches), angle)
             scale = jnp.float32(cfg.scale_factor ** lvl)
             xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
             out_xy.append(xy0)

@@ -46,19 +46,14 @@ def _gather_patches(stack, lvl, vc, uc, dy, dx):
     return stack[lvl[:, None, None], rows[:, :, None], cols[:, None, :]]
 
 
-def stereo_match(
+def stereo_candidates(
     xy_l, level_l, desc_l, valid_l,
     xy_r, level_r, desc_r, valid_r,
-    stack_l, stack_r,           # (n_levels, H0, W0) padded pyramid stacks
-    level_shapes,               # (n_levels, 2) int32 per-level (h, w)
-    scale_factors,              # (n_levels,) float32
-    fx: float, bf: float,
+    scale_factors, fx: float,
     th_orb: int = TH_ORB_STEREO,
-) -> StereoMatches:
-    NL = xy_l.shape[0]
-    max_d = fx  # bf / min_depth with min_depth = baseline
-
-    # ---- stage 1: masked Hamming argmin ------------------------------
+):
+    """Stage 1: masked Hamming argmin. Returns (best_idx, matched)."""
+    max_d = fx
     dist = hamming_table_popcount(desc_l, desc_r)                  # (NL, NR)
     yl, yr = xy_l[:, 1], xy_r[:, 1]
     ul, ur = xy_l[:, 0], xy_r[:, 0]
@@ -74,7 +69,77 @@ def stereo_match(
     dist = jnp.where(ok, dist, 1 << 20)
     best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)          # (NL,)
     best_dist = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
-    matched = best_dist < th_orb
+    return best_idx, best_dist < th_orb
+
+
+def sad_refine_from_patches(
+    patch_l, patch_r,            # (N, P, P) patches centered at the scaled
+    #                              left kp / right candidate positions
+    scaled_ul, scaled_vl, scaled_ur,  # (N,) int32 level coords
+    ul, matched, in_bounds,      # level-0 left u, hamming ok, bounds ok
+    scale,                       # (N,) per-kp scale factor
+    fx: float, bf: float,
+):
+    """Stages 2+3: SAD scan over +-5 px with parabolic sub-pixel fit and the
+    median-based outlier filter, computed from pre-fetched patches (static
+    slices — no gathers)."""
+    P = patch_l.shape[1]
+    c = P // 2
+    max_d = fx
+    lw = patch_l[:, c - _W : c + _W + 1, c - _W : c + _W + 1]
+    center_l = lw[:, _W, _W][:, None, None]
+    norm_l = lw - center_l
+    sads = []
+    for k in range(2 * _L + 1):
+        off = k - _L
+        win = patch_r[:, c - _W : c + _W + 1, c - _W + off : c + _W + 1 + off]
+        win = win - win[:, _W, _W][:, None, None]
+        sads.append(jnp.sum(jnp.abs(norm_l - win), axis=(1, 2)))
+    sads = jnp.stack(sads, axis=1)                                  # (N, 11)
+    best_k = jnp.argmin(sads, axis=1)
+    best_sad = jnp.take_along_axis(sads, best_k[:, None], axis=1)[:, 0]
+    interior = (best_k > 0) & (best_k < 2 * _L)
+    km = jnp.clip(best_k - 1, 0, 2 * _L)
+    kp_ = jnp.clip(best_k + 1, 0, 2 * _L)
+    s_m = jnp.take_along_axis(sads, km[:, None], axis=1)[:, 0]
+    s_p = jnp.take_along_axis(sads, kp_[:, None], axis=1)[:, 0]
+    denom = s_m + s_p - 2.0 * best_sad
+    delta = jnp.where(jnp.abs(denom) > 1e-6, (s_m - s_p) / (2.0 * denom), 0.0)
+    delta_ok = (delta > -1.0) & (delta < 1.0)
+
+    u_right = scale * (
+        scaled_ur.astype(jnp.float32) + (best_k - _L).astype(jnp.float32) + delta
+    )
+    disparity = ul - u_right
+    disparity = jnp.where(disparity <= 0.0, 0.01, disparity)
+    disp_ok = disparity < max_d
+
+    valid = matched & in_bounds & interior & delta_ok & disp_ok
+    sad_for_median = jnp.where(valid, best_sad, jnp.nan)
+    med = jnp.nanmedian(sad_for_median)
+    valid = valid & (best_sad <= 1.5 * 1.4 * med)
+    depth = jnp.where(valid, bf / disparity, -1.0)
+    u_right = jnp.where(valid, u_right, -1.0)
+    return u_right, depth, valid
+
+
+def stereo_match(
+    xy_l, level_l, desc_l, valid_l,
+    xy_r, level_r, desc_r, valid_r,
+    stack_l, stack_r,           # (n_levels, H0, W0) padded pyramid stacks
+    level_shapes,               # (n_levels, 2) int32 per-level (h, w)
+    scale_factors,              # (n_levels,) float32
+    fx: float, bf: float,
+    th_orb: int = TH_ORB_STEREO,
+) -> StereoMatches:
+    NL = xy_l.shape[0]
+    max_d = fx  # bf / min_depth with min_depth = baseline
+
+    best_idx, matched = stereo_candidates(
+        xy_l, level_l, desc_l, valid_l, xy_r, level_r, desc_r, valid_r,
+        scale_factors, fx, th_orb,
+    )
+    ul, yl = xy_l[:, 0], xy_l[:, 1]
 
     # ---- stage 2: SAD sub-pixel refinement ---------------------------
     lvl = level_l

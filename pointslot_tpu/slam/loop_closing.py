@@ -114,17 +114,28 @@ class LoopCloser:
             return None
 
         # covisibility-consistency across consecutive detections (the
-        # reference requires 3 consecutive consistent detections)
+        # reference requires 3 consecutive consistent detections); a group is
+        # the candidate + its covisible neighborhood, and its count is the
+        # best chain it extends
         confirmed = None
         new_groups = []
+        # temporal ordering for group expansion in sparse maps (a candidate
+        # alone in its covisibility neighborhood still chains through its
+        # sequential neighbors)
+        by_time = sorted(m.keyframe_ids(), key=lambda k: m.kf_frame_id[k])
+        pos = {int(k): i for i, k in enumerate(by_time)}
         for c in candidates[:5]:
-            group = set(int(x) for x in m.covisible_keyframes(c, min_weight=15))
+            group = set(int(x) for x in m.covisible_keyframes(c, min_weight=5))
             group.add(int(c))
+            i = pos.get(int(c))
+            if i is not None:
+                for j in (i - 1, i + 1):
+                    if 0 <= j < len(by_time):
+                        group.add(int(by_time[j]))
             count = 0
             for prev_group, prev_count in self._consistent_groups:
                 if group & prev_group:
-                    count = prev_count + 1
-                    break
+                    count = max(count, prev_count + 1)
             new_groups.append((group, count))
             if count + 1 >= self.cfg.loop.covisibility_consistency_th and confirmed is None:
                 confirmed = int(c)

@@ -462,6 +462,9 @@ class CameraTracker:
             self._create_points_from_stereo(frame, kf, sel)
         if self.new_kf_callback:
             self.new_kf_callback(kf)
+            # mapping/loop-closing may have refined this keyframe's pose;
+            # the frame IS the keyframe, so adopt it
+            frame.T_cw = self.map.kf_pose[kf].copy()
 
     # ------------------------------------------------------------------
     def camera_trajectory(self):
