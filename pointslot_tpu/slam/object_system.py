@@ -77,6 +77,9 @@ class ObjectSystem:
             fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
             bf=float(cam.bf),
         )
+        self._cam_args_nobf = dict(
+            fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
+        )
         self._scales = np.asarray(
             [config.orb.scale_factor ** i for i in range(config.orb.n_levels)],
             np.float32,
@@ -163,6 +166,20 @@ class ObjectSystem:
         T = np.eye(4)
         T[:3, :3] = R
         T[:3, 3] = t
+        if self.cfg.objects.set_init_position_by_points:
+            # refine the centroid init against the detected 2D box
+            # (Tracking::FineTuningUsing2dBox, src/Tracking.cc:1704-1786)
+            from pointslot_tpu.solvers.object_factors import fine_tune_with_bbox
+
+            T = np.asarray(
+                fine_tune_with_bbox(
+                    jnp.asarray(T, jnp.float32),
+                    jnp.asarray(det.dims[::-1].copy(), jnp.float32),  # (w,h,l)->xyz extents
+                    jnp.asarray(det.bbox, jnp.float32),
+                    **self._cam_args_nobf,
+                ),
+                np.float64,
+            )
         return T
 
     def _point_max_dist(self, det: Detection) -> float:
