@@ -220,7 +220,11 @@ class LoopConfig:
 class RuntimeConfig:
     """Host-pipeline execution knobs (net-new; replaces pthread topology)."""
 
-    async_mapping: bool = True       # run mapping out-of-band like the reference threads
+    # run mapping in a worker thread like the reference's LocalMapping /
+    # LoopClosing threads (tracking holds the map lock only during its own
+    # map reads/writes, so mapping overlaps the frontend). Synchronous by
+    # default for determinism.
+    async_mapping: bool = False
     mapping_every_n_frames: int = 1
     use_native: bool = True          # use the C++ runtime library when built
     profile: bool = False

@@ -47,6 +47,19 @@ class System:
                 self.cfg, self.map, self.loop_closer.db
             )
         self.map.on_remove_keyframe = self._on_keyframe_removed
+        # async mapping pipeline (the reference's thread topology); OFF by
+        # default — enable with RuntimeConfig.async_mapping
+        import queue as _queue
+        import threading
+
+        self.map_lock = threading.RLock()
+        self._mapping_queue = _queue.Queue()
+        self._mapping_thread = None
+        if self.cfg.runtime.async_mapping:
+            self._mapping_thread = threading.Thread(
+                target=self._mapping_worker, daemon=True
+            )
+            self._mapping_thread.start()
         self.frame_times = []
         self.timestamps = []
         self._object_system = None
@@ -83,9 +96,34 @@ class System:
 
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf: int):
-        self.local_mapper.process_keyframe(kf)
-        if self.loop_closer is not None:
-            self.loop_closer.on_keyframe(kf)
+        if self._mapping_thread is not None:
+            self._mapping_queue.put(kf)
+        else:
+            self._process_keyframe_sync(kf)
+
+    def _process_keyframe_sync(self, kf: int):
+        with self.map_lock:
+            self.local_mapper.process_keyframe(kf)
+            if self.loop_closer is not None:
+                self.loop_closer.on_keyframe(kf)
+
+    def _mapping_worker(self):
+        """Async mapping thread — the LocalMapping/LoopClosing thread analog
+        (reference src/System.cc:106-118 spawns them; hand-off is the
+        InsertKeyFrame queue, src/LocalMapping.cc:265). Shares MapState with
+        tracking under map_lock (the reference's mMutexMapUpdate)."""
+        import queue as _q
+
+        while True:
+            kf = self._mapping_queue.get()
+            if kf is None:
+                return
+            try:
+                self._process_keyframe_sync(kf)
+            except Exception:  # pragma: no cover - worker must not die silently
+                import traceback
+
+                traceback.print_exc()
 
     def _on_loop_closed(self, corrections):
         # pose landscape changed under the tracker: drop the velocity model
@@ -184,7 +222,8 @@ class System:
             yi = np.clip(np.round(frame.xy[:, 1]).astype(int), 0, gate.shape[0] - 1)
             xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, gate.shape[1] - 1)
             frame.valid = frame.valid & np.asarray(gate)[yi, xi]
-        self.tracker.track(frame)
+        with self.map_lock:
+            self.tracker.track(frame)
         self.timestamps.append(timestamp)
 
         if self._object_system is not None and frame.T_cw is not None:
@@ -293,7 +332,20 @@ class System:
             if rows:
                 write_trajectory_kitti(f"{prefix}_{track.track_id}.txt", rows)
 
+    def wait_for_mapping(self):
+        """Block until the async mapping queue is drained."""
+        if self._mapping_thread is not None:
+            import time as _t
+
+            while not self._mapping_queue.empty():
+                _t.sleep(0.005)
+
     def shutdown(self):
+        self.wait_for_mapping()
+        if self._mapping_thread is not None:
+            self._mapping_queue.put(None)
+            self._mapping_thread.join(timeout=10)
+            self._mapping_thread = None
         med = float(np.median(self.frame_times)) if self.frame_times else 0.0
         mean = float(np.mean(self.frame_times)) if self.frame_times else 0.0
         return {"median_track_s": med, "mean_track_s": mean,
