@@ -1,0 +1,62 @@
+"""Dataset reader formats: Virtual KITTI, KITTI poses, BoW text vocab."""
+
+import numpy as np
+
+from pointslot_tpu.datasets.kitti import (
+    read_kitti_poses,
+    read_virtual_kitti_objects,
+)
+from pointslot_tpu.vocab.bow import BinaryVocabulary, load_orb_vocab_text
+
+
+def test_read_kitti_poses(tmp_path):
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    rows = [np.eye(4)[:3, :4].reshape(-1), T[:3, :4].reshape(-1)]
+    p = tmp_path / "pose.txt"
+    np.savetxt(p, np.stack(rows))
+    out = read_kitti_poses(str(p))
+    assert out.shape == (2, 4, 4)
+    np.testing.assert_allclose(out[1][:3, 3], [1, 2, 3])
+    np.testing.assert_allclose(out[0], np.eye(4))
+
+
+def test_read_virtual_kitti(tmp_path):
+    pose = tmp_path / "pose.txt"
+    bbox = tmp_path / "bbox.txt"
+    pose.write_text(
+        "frame cameraID trackID alpha width height length wx wy wz ry rx rz cx cy cz cry crx crz\n"
+        "0 0 5 0.1 1.6 1.5 3.5 10 0 20 0.2 0 0 2.0 1.0 15.0 0.3 0 0\n"
+        "0 1 5 0.1 1.6 1.5 3.5 10 0 20 0.2 0 0 2.0 1.0 15.0 0.3 0 0\n"
+    )
+    bbox.write_text(
+        "frame cameraID trackID left right top bottom pixels trunc occ isMoving\n"
+        "0 0 5 100 200 50 120 5000 0.0 0.9 True\n"
+        "0 1 5 100 200 50 120 5000 0.0 0.9 True\n"
+    )
+    rows = read_virtual_kitti_objects(str(pose), str(bbox))
+    assert rows.shape == (1, 24)  # camera 1 dropped
+    r = rows[0]
+    assert r[0] == 0 and r[1] == 5
+    np.testing.assert_allclose(r[5:9], [100, 50, 100, 70])
+    np.testing.assert_allclose(r[9:12], [3.5, 1.5, 1.6])  # l, h, w
+    # bottom-center -> geometric center shift
+    np.testing.assert_allclose(r[12:15], [2.0, 1.0 - 0.75, 15.0])
+    assert r[18] == 1.0
+
+
+def test_bow_text_vocab_roundtrip(tmp_path, rng):
+    # write a tiny DBoW2-text-format vocabulary: k L s1 s2 then nodes
+    words = rng.integers(0, 256, size=(8, 32), dtype=np.uint8)
+    lines = ["4 1 0 0"]
+    for i, w in enumerate(words):
+        lines.append("0 1 " + " ".join(str(x) for x in w) + f" {0.5 + i * 0.01}")
+    p = tmp_path / "voc.txt"
+    p.write_text("\n".join(lines) + "\n")
+    vocab = load_orb_vocab_text(str(p))
+    assert vocab.n_words == 8
+    np.testing.assert_allclose(vocab.idf, 0.5 + np.arange(8) * 0.01, atol=1e-6)
+    # word assignment: a descriptor equal to word 3 maps to word 3
+    desc = words[3].view(np.uint32)[None, :]
+    _, wid = vocab.transform(desc, np.ones(1, bool))
+    assert int(wid[0]) == 3
