@@ -85,6 +85,46 @@ class ObjectSystem:
             np.float32,
         )
         self.ba_calls = 0
+        self._build_batched_kernels()
+
+    # ------------------------------------------------------------------
+    def _build_batched_kernels(self):
+        """One jit per stage, vmapped over the object axis: the reference
+        loops objects serially (src/Tracking.cc:2288-2466); here every
+        object of the frame is matched and solved in a single program."""
+        import jax
+
+        cam = self._cam_args
+        w, h = self.cfg.camera.width, self.cfg.camera.height
+        scales = jnp.asarray(self._scales)
+
+        def one_brute(f_desc, f_angle, f_valid, p_desc, p_valid):
+            return matchers.brute_match(
+                f_desc, f_angle, f_valid,
+                p_desc, jnp.zeros(p_desc.shape[0], jnp.float32), p_valid,
+                nn_ratio=0.9, th_desc=matchers.TH_HIGH, check_rotation=False,
+            ).idx_b_for_a
+
+        self._brute_batched = jax.jit(jax.vmap(one_brute))
+
+        def one_proj(pt_pos, pt_desc, pt_valid, T, f_xy, f_level, f_desc, f_valid):
+            M = pt_pos.shape[0]
+            return matchers.project_and_match(
+                pt_pos, pt_desc, pt_valid, T,
+                f_xy, f_level, f_desc, f_valid,
+                jnp.full((M,), 6.0, jnp.float32), scales,
+                jnp.zeros(M, jnp.int32),
+                width=w, height=h, th_desc=matchers.TH_HIGH, **cam,
+            ).point_for_feature
+
+        self._proj_batched = jax.jit(jax.vmap(one_proj))
+
+        def solve_batch(T0, edges, priors):
+            return pose_opt.pose_optimize_batched(
+                T0, edges, **cam, trans_priors=priors, use_trans_prior=True,
+            )
+
+        self._solve_batched = jax.jit(solve_batch)
 
     # ------------------------------------------------------------------
     def process_frame(self, frame, left, right, detections, instance_mask, timestamp):
@@ -100,18 +140,23 @@ class ObjectSystem:
         feats = self._extract_object_features(left, right, instance_mask, dets)
         T_cw = frame.T_cw.astype(np.float64)
 
+        to_init, to_track = [], []
         for di, det in enumerate(dets):
             fsel = np.nonzero(feats.det_index == di)[0]
             track = self.tracks.get(det.track_id)
             if track is None or track.n_points() == 0:
-                self._try_init(det, feats, fsel, T_cw, timestamp)
-                continue
-            ok = self._track_object(track, det, feats, fsel, T_cw, timestamp)
-            if not ok:
-                missing_t = timestamp - track.last_seen_time
-                if missing_t > self.cfg.objects.max_missing_dt:
-                    # re-init the object from scratch (MapObjectReInit)
-                    self._reinit(track, det, feats, fsel, T_cw, timestamp)
+                to_init.append((det, fsel))
+            else:
+                to_track.append((det, fsel, track))
+
+        failed = self._track_objects_batched(to_track, feats, T_cw, timestamp)
+        for det, fsel, track in failed:
+            missing_t = timestamp - track.last_seen_time
+            if missing_t > self.cfg.objects.max_missing_dt:
+                # re-init the object from scratch (MapObjectReInit)
+                self._reinit(track, det, feats, fsel, T_cw, timestamp)
+        for det, fsel in to_init:
+            self._try_init(det, feats, fsel, T_cw, timestamp)
 
     # ------------------------------------------------------------------
     def _extract_object_features(self, left, right, instance_mask, dets):
@@ -282,126 +327,169 @@ class ObjectSystem:
         return np.stack([x, y, z], axis=1)
 
     # ------------------------------------------------------------------
-    def _solve_object_pose(self, track, det, feats, fsel, bind, T_init):
-        """CFSE3ObjStateOptimization: pose-only LM over object-frame points
-        with the detection translation prior."""
-        good = np.nonzero(bind >= 0)[0]
-        if len(good) < 3:
-            return None, np.zeros(0, bool), good
-        pts_o = track.pt_pos[bind[good]].astype(np.float32)
-        f = fsel[good]
-        obs = np.stack(
-            [feats.xy[f, 0], feats.xy[f, 1], feats.u_right[f]], axis=1
-        ).astype(np.float32)
-        is_stereo = feats.depth[f] > 0
-        inv_sigma2 = (1.0 / self._scales**2)[feats.level[f]].astype(np.float32)
+    def _prior_translation(self, det, feats, fsel) -> np.ndarray:
+        """Detection-derived translation prior for the pose solve (the
+        reference's EdgeTransConstraintFromDetction anchor): trimmed stereo
+        centroid or the offline location."""
+        if self.cfg.objects.set_init_position_by_points:
+            stereo = fsel[feats.depth[fsel] > 0]
+            if len(stereo) >= 3:
+                pc = self._unproject(feats, stereo)
+                med = np.median(pc, axis=0)
+                d = np.linalg.norm(pc - med, axis=1)
+                keep = d < max(np.median(d) * 2.5, 1.0)
+                return pc[keep].mean(axis=0) if keep.sum() >= 3 else med
+        return np.asarray(det.location_cam, np.float64)
 
-        def pad(a, fill=0):
-            out = np.full((EDGE_CAP,) + a.shape[1:], fill, a.dtype)
-            out[: min(len(a), EDGE_CAP)] = a[:EDGE_CAP]
-            return out
-
-        edges = pose_opt.PoseObs(
-            pts=jnp.asarray(pad(pts_o)),
-            obs=jnp.asarray(pad(obs)),
-            is_stereo=jnp.asarray(pad(is_stereo, False)),
-            inv_sigma2=jnp.asarray(pad(inv_sigma2)),
-            valid=jnp.asarray(pad(np.ones(len(good), bool), False)),
-        )
-        prior_t = self._init_pose_from_detection(det, feats, fsel)[:3, 3]
-        result = pose_opt.pose_optimize(
-            jnp.asarray(T_init, jnp.float32), edges,
-            trans_prior=jnp.asarray(prior_t, jnp.float32),
-            trans_prior_weight=50.0,
-            **self._cam_args,
-        )
-        inl = np.asarray(result.inliers)[: len(good)]
-        return np.asarray(result.T, np.float64), inl, good
-
-    def _track_object(self, track, det, feats, fsel, T_cw, timestamp) -> bool:
-        if len(fsel) < self.cfg.objects.track_min_features // 2:
-            track.track_ok = False
-            return False
-        T_pred = track.predict_pose_cf(det.frame_id, T_cw)
-        if T_pred is None:
-            T_pred = self._init_pose_from_detection(det, feats, fsel)
-
-        # fixed-capacity views of this detection's features (static shapes)
-        fsel = fsel[:F_CAP]
-        F = len(fsel)
-
-        def fpad(a, fill=0):
-            out = np.full((F_CAP,) + a.shape[1:], fill, a.dtype)
-            out[:F] = a[fsel]
-            return out
-
-        p_xy = fpad(feats.xy)
-        p_level = fpad(feats.level)
-        p_desc = fpad(feats.desc)
-        p_angle = fpad(feats.angle)
-        p_valid = fpad(feats.valid, False)
-
-        # stage 1: brute match current features vs object point descriptors
-        # (SearchByBruceMatching analog)
-        res = matchers.brute_match(
-            jnp.asarray(p_desc), jnp.asarray(p_angle), jnp.asarray(p_valid),
-            jnp.asarray(track.pt_desc), jnp.zeros(track.max_points, jnp.float32),
-            jnp.asarray(track.pt_valid),
-            nn_ratio=0.9, th_desc=matchers.TH_HIGH, check_rotation=False,
-        )
-        bind = np.asarray(res.idx_b_for_a).astype(np.int64)[:F]
-        T1, inl1, good1 = self._solve_object_pose(track, det, feats, fsel, bind, T_pred)
-        if T1 is None:
-            track.track_ok = False
-            return False
-        bind[good1[~inl1]] = -1
-
-        # stage 2: object local map — project all points through refined pose
-        M = track.max_points
-        proj = matchers.project_and_match(
-            jnp.asarray(track.pt_pos, jnp.float32),
-            jnp.asarray(track.pt_desc),
-            jnp.asarray(track.pt_valid),
-            jnp.asarray(T1, jnp.float32),
-            jnp.asarray(p_xy), jnp.asarray(p_level),
-            jnp.asarray(p_desc), jnp.asarray(p_valid),
-            jnp.full((M,), 6.0, jnp.float32),
-            jnp.asarray(self._scales),
-            jnp.zeros(M, jnp.int32),
-            width=self.cfg.camera.width, height=self.cfg.camera.height,
-            th_desc=matchers.TH_HIGH,
-            **self._cam_args,
-        )
-        pf = np.asarray(proj.point_for_feature)[:F]
-        add = np.nonzero((pf >= 0) & (bind < 0))[0]
-        bind[add] = pf[add]
-        T2, inl2, good2 = self._solve_object_pose(track, det, feats, fsel, bind, T1)
-        if T2 is None:
-            track.track_ok = False
-            return False
-        bind[good2[~inl2]] = -1
-        n_inl = int(inl2.sum())
-        track.n_inliers = n_inl
-        found = bind[bind >= 0]
-        track.pt_found[found] += 1
-        track.pt_visible[found] += 1
-
-        if n_inl < self.cfg.objects.min_tracked_points:
-            track.track_ok = False
-            return False
-        track.track_ok = True
-
-        self._dynamic_discrimination(track, det, feats, fsel, bind, T_cw, T2)
-        self._record_state(track, det, T2, T_cw, timestamp)
-
-        # object keyframe policy: tracked fraction of last OKF's points
-        last_okf = track.keyframes[-1]
-        n_ref = int((last_okf.point_idx >= 0).sum())
-        if n_inl < 0.9 * n_ref or det.frame_id - last_okf.frame_id >= 5:
-            self._add_keyframe_with_points(
-                track, det, feats, fsel, T2, T_cw, timestamp, bind=bind
+    def _build_edges(self, items, binds, feats):
+        """Batched PoseObs from per-object feature bindings."""
+        O = len(items)
+        pts = np.zeros((O, EDGE_CAP, 3), np.float32)
+        obs = np.zeros((O, EDGE_CAP, 3), np.float32)
+        stereo = np.zeros((O, EDGE_CAP), bool)
+        inv2 = np.ones((O, EDGE_CAP), np.float32)
+        valid = np.zeros((O, EDGE_CAP), bool)
+        for oi, (det, fsel, track) in enumerate(items):
+            bind = binds[oi]
+            good = np.nonzero(bind >= 0)[0][:EDGE_CAP]
+            n = len(good)
+            if n == 0:
+                continue
+            f = fsel[good]
+            pts[oi, :n] = track.pt_pos[bind[good]]
+            obs[oi, :n] = np.stack(
+                [feats.xy[f, 0], feats.xy[f, 1], feats.u_right[f]], axis=1
             )
-        return True
+            stereo[oi, :n] = feats.depth[f] > 0
+            inv2[oi, :n] = (1.0 / self._scales**2)[feats.level[f]]
+            valid[oi, :n] = True
+        return pose_opt.PoseObs(
+            pts=jnp.asarray(pts), obs=jnp.asarray(obs),
+            is_stereo=jnp.asarray(stereo), inv_sigma2=jnp.asarray(inv2),
+            valid=jnp.asarray(valid),
+        ), valid
+
+    def _track_objects_batched(self, items, feats, T_cw, timestamp):
+        """Track every live object of the frame in four batched programs:
+        brute match -> pose LM -> local-map projection -> pose LM.
+        Returns the list of (det, fsel, track) that failed."""
+        if not items:
+            return []
+        min_feats = self.cfg.objects.track_min_features // 2
+        pre_failed = [it for it in items if len(it[1]) < min_feats]
+        for det, fsel, track in pre_failed:
+            track.track_ok = False
+        items = [it for it in items if len(it[1]) >= min_feats]
+        if not items:
+            return pre_failed
+
+        O = len(items)
+        # pad the object axis to a power of two (bounds recompilation)
+        O_pad = 1
+        while O_pad < O:
+            O_pad *= 2
+
+        P = self.cfg.objects.max_object_points
+        f_xy = np.zeros((O_pad, F_CAP, 2), np.float32)
+        f_level = np.zeros((O_pad, F_CAP), np.int32)
+        f_desc = np.zeros((O_pad, F_CAP, 8), np.uint32)
+        f_angle = np.zeros((O_pad, F_CAP), np.float32)
+        f_valid = np.zeros((O_pad, F_CAP), bool)
+        pt_pos = np.zeros((O_pad, P, 3), np.float32)
+        pt_desc = np.zeros((O_pad, P, 8), np.uint32)
+        pt_valid = np.zeros((O_pad, P), bool)
+        T_pred = np.tile(np.eye(4, dtype=np.float32), (O_pad, 1, 1))
+        priors = np.zeros((O_pad, 3), np.float32)
+        fsels = []
+        for oi, (det, fsel, track) in enumerate(items):
+            fsel = fsel[:F_CAP]
+            fsels.append(fsel)
+            n = len(fsel)
+            f_xy[oi, :n] = feats.xy[fsel]
+            f_level[oi, :n] = feats.level[fsel]
+            f_desc[oi, :n] = feats.desc[fsel]
+            f_angle[oi, :n] = feats.angle[fsel]
+            f_valid[oi, :n] = feats.valid[fsel]
+            pt_pos[oi] = track.pt_pos
+            pt_desc[oi] = track.pt_desc
+            pt_valid[oi] = track.pt_valid
+            Tp = track.predict_pose_cf(det.frame_id, T_cw)
+            if Tp is None:
+                Tp = self._init_pose_from_detection(det, feats, fsel)
+            T_pred[oi] = Tp
+            priors[oi] = self._prior_translation(det, feats, fsel)
+
+        # stage 1: batched brute match (SearchByBruceMatching analog)
+        bind_j = self._brute_batched(
+            jnp.asarray(f_desc), jnp.asarray(f_angle), jnp.asarray(f_valid),
+            jnp.asarray(pt_desc), jnp.asarray(pt_valid),
+        )
+        binds = [np.asarray(bind_j[oi]).astype(np.int64)[: len(fsels[oi])]
+                 for oi in range(O)]
+
+        edges1, _ = self._build_edges(items, binds, feats)
+        # pad edges pytree to O_pad
+        def padO(a):
+            out = np.zeros((O_pad,) + a.shape[1:], np.asarray(a).dtype)
+            out[:O] = np.asarray(a)
+            return jnp.asarray(out)
+        edges1 = pose_opt.PoseObs(*[padO(x) for x in edges1])
+        res1 = self._solve_batched(jnp.asarray(T_pred), edges1, jnp.asarray(priors))
+        T1 = np.asarray(res1.T, np.float64)
+        inl1 = np.asarray(res1.inliers)
+        for oi in range(O):
+            bind = binds[oi]
+            good = np.nonzero(bind >= 0)[0][:EDGE_CAP]
+            bad = good[~inl1[oi, : len(good)]]
+            bind[bad] = -1
+
+        # stage 2: batched local-map projection through the refined poses
+        pf_j = self._proj_batched(
+            jnp.asarray(pt_pos), jnp.asarray(pt_desc), jnp.asarray(pt_valid),
+            jnp.asarray(T1, jnp.float32),
+            jnp.asarray(f_xy), jnp.asarray(f_level), jnp.asarray(f_desc),
+            jnp.asarray(f_valid),
+        )
+        for oi in range(O):
+            pf = np.asarray(pf_j[oi])[: len(fsels[oi])]
+            bind = binds[oi]
+            add = np.nonzero((pf >= 0) & (bind < 0))[0]
+            bind[add] = pf[add]
+
+        edges2, valid2 = self._build_edges(items, binds, feats)
+        edges2 = pose_opt.PoseObs(*[padO(x) for x in edges2])
+        res2 = self._solve_batched(jnp.asarray(T1, jnp.float32), edges2,
+                                   jnp.asarray(priors))
+        T2 = np.asarray(res2.T, np.float64)
+        inl2 = np.asarray(res2.inliers)
+
+        failed = list(pre_failed)
+        for oi, (det, fsel, track) in enumerate(items):
+            bind = binds[oi]
+            good = np.nonzero(bind >= 0)[0][:EDGE_CAP]
+            inl = inl2[oi, : len(good)]
+            bind[good[~inl]] = -1
+            n_inl = int(inl.sum())
+            track.n_inliers = n_inl
+            found = bind[bind >= 0]
+            track.pt_found[found] += 1
+            track.pt_visible[found] += 1
+            if n_inl < self.cfg.objects.min_tracked_points:
+                track.track_ok = False
+                failed.append((det, fsel, track))
+                continue
+            track.track_ok = True
+            fsel_t = fsels[oi]
+            self._dynamic_discrimination(track, det, feats, fsel_t, bind,
+                                         T_cw, T2[oi])
+            self._record_state(track, det, T2[oi], T_cw, timestamp)
+            last_okf = track.keyframes[-1]
+            n_ref = int((last_okf.point_idx >= 0).sum())
+            if n_inl < 0.9 * n_ref or det.frame_id - last_okf.frame_id >= 5:
+                self._add_keyframe_with_points(
+                    track, det, feats, fsel_t, T2[oi], T_cw, timestamp, bind=bind
+                )
+        return failed
 
     # ------------------------------------------------------------------
     def _dynamic_discrimination(self, track, det, feats, fsel, bind, T_cw, T_co):
