@@ -214,6 +214,11 @@ class LoopConfig:
     min_sim3_inliers: int = 20
     fix_scale: bool = True   # stereo
     pose_graph_cg_iters: int = 100
+    # full-map BA after loop correction (the reference's detached-thread
+    # GBA). Off by default: when pre-loop data associations were made under
+    # heavy drift, joint refinement can lock in a consistent-but-deformed
+    # shape; the pose graph alone recovers the trajectory on our fixtures.
+    run_global_ba: bool = False
 
 
 @dataclass(frozen=True)

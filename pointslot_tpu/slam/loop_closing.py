@@ -254,8 +254,114 @@ class LoopCloser:
             Xc = T_old[:3, :3] @ X + T_old[:3, 3]
             T_wc_new = np.linalg.inv(T_new)
             m.pt_pos[p] = T_wc_new[:3, :3] @ Xc + T_wc_new[:3, 3]
+
+        if self.cfg.loop.run_global_ba:
+            self._global_ba(cand)
+
         if self.on_loop_closed:
             self.on_loop_closed(corrections)
+
+    # ------------------------------------------------------------------
+    def _global_ba(self, fixed_kf: int):
+        """Full-map bundle adjustment after loop correction (the reference
+        runs this in a detached thread, LoopClosing::RunGlobalBundleAdjustment
+        src/LoopClosing.cc:648-752; here it reuses the Schur engine at full
+        capacity, bounded by the configured caps)."""
+        import jax.numpy as jnp
+
+        from pointslot_tpu.solvers import local_ba
+
+        m = self.map
+        cam = self.cfg.camera
+        kf_ids = list(m.keyframe_ids())
+
+        def next_pow2(n, lo, hi):
+            p = lo
+            while p < min(n, hi):
+                p *= 2
+            return p
+
+        # size the (rarely-run) solve to the actual map, in power-of-two
+        # buckets so recompiles stay bounded
+        P_cap = next_pow2(len(kf_ids), 16, 64)
+        L_cap = next_pow2(m.n_points(), 1024, 16384)
+        E_cap = L_cap * 4
+        kf_ids = kf_ids[:P_cap]
+        kf_row = {int(k): i for i, k in enumerate(kf_ids)}
+        pts = m.points_of_keyframes(kf_ids)[:L_cap]
+        pt_row = np.full(m.max_points, -1, np.int64)
+        pt_row[pts] = np.arange(len(pts))
+        scales = np.asarray(
+            [self.cfg.orb.scale_factor ** i for i in range(self.cfg.orb.n_levels)],
+            np.float32,
+        )
+
+        e_pose, e_point, e_obs, e_stereo, e_inv2 = [], [], [], [], []
+        for k in kf_ids:
+            bound = np.nonzero(m.kf_point_idx[k] >= 0)[0]
+            p_idx = m.kf_point_idx[k, bound]
+            sel = pt_row[p_idx] >= 0
+            bound, p_idx = bound[sel], p_idx[sel]
+            e_pose.append(np.full(len(bound), kf_row[int(k)]))
+            e_point.append(pt_row[p_idx])
+            e_obs.append(np.stack(
+                [m.kf_xy[k, bound, 0], m.kf_xy[k, bound, 1],
+                 m.kf_uright[k, bound]], axis=1))
+            e_stereo.append(m.kf_depth[k, bound] > 0)
+            e_inv2.append(1.0 / scales[m.kf_level[k, bound]] ** 2)
+        e_pose = np.concatenate(e_pose)[:E_cap]
+        e_point = np.concatenate(e_point)[:E_cap]
+        e_obs = np.concatenate(e_obs)[:E_cap]
+        e_stereo = np.concatenate(e_stereo)[:E_cap]
+        e_inv2 = np.concatenate(e_inv2)[:E_cap]
+        E = len(e_pose)
+        if E < 100:
+            return
+
+        def pad(a, cap, fill=0):
+            out = np.full((cap,) + np.asarray(a).shape[1:], fill,
+                          np.asarray(a).dtype)
+            out[: len(a)] = np.asarray(a)[:cap]
+            return out
+
+        fixed_flags = [int(k) == int(fixed_kf) for k in kf_ids]
+        if not any(fixed_flags):
+            fixed_flags[0] = True
+        prob = local_ba.BAProblem(
+            poses=jnp.asarray(pad(m.kf_pose[kf_ids], P_cap), jnp.float32),
+            pose_fixed=jnp.asarray(pad(np.asarray(fixed_flags), P_cap, True)),
+            pose_valid=jnp.asarray(pad(np.ones(len(kf_ids), bool), P_cap, False)),
+            dof_mask=jnp.ones((P_cap, 6), jnp.float32),
+            points=jnp.asarray(pad(m.pt_pos[pts].astype(np.float32), L_cap)),
+            point_valid=jnp.asarray(pad(np.ones(len(pts), bool), L_cap, False)),
+            e_pose=jnp.asarray(pad(e_pose.astype(np.int32), E_cap)),
+            e_point=jnp.asarray(pad(e_point.astype(np.int32), E_cap)),
+            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E_cap)),
+            e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
+            e_inv_sigma2=jnp.asarray(pad(e_inv2.astype(np.float32), E_cap)),
+            e_valid=jnp.asarray(pad(np.ones(E, bool), E_cap, False)),
+        )
+        # pre-gate: drop grossly-inconsistent observations (wrong
+        # associations made while the map was drifted) at the corrected
+        # state BEFORE optimizing, so the robust stage starts clean
+        cam_args = dict(fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+                        cy=float(cam.cy), bf=float(cam.bf))
+        res0, _, _, behind0 = local_ba._edge_residuals(
+            prob.poses, prob.points, prob, **cam_args)
+        chi2_0 = local_ba._edge_chi2(res0, prob.e_stereo, prob.e_inv_sigma2)
+        gate0 = jnp.where(prob.e_stereo, local_ba.CHI2_STEREO,
+                          local_ba.CHI2_MONO) * 10.0
+        prob = prob._replace(
+            e_valid=prob.e_valid & (chi2_0 <= gate0) & ~behind0)
+        result = local_ba.bundle_adjust(
+            prob, **cam_args, stage_iters=(5, 10),
+            use_huber_stages=(True, False),
+        )
+        new_poses = np.asarray(result.poses)
+        for i, k in enumerate(kf_ids):
+            if not fixed_flags[i]:
+                m.kf_pose[int(k)] = new_poses[i]
+        m.pt_pos[pts] = np.asarray(result.points, np.float64)[: len(pts)]
 
 
 class Relocalizer:

@@ -1,0 +1,55 @@
+"""CLI runner end-to-end (stereo_kitti driver analog)."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_run_synthetic_mode4(tmp_path):
+    from pointslot_tpu.run import main
+
+    out = tmp_path / "out"
+    rc = main([
+        "--synthetic", "6", "--mode", "4", "--out", str(out), "--no-loop",
+        "--synthetic-objects", "1",
+    ])
+    assert rc == 0
+    assert (out / "CameraTrajectory.txt").exists()
+    assert (out / "ObjectDetections").is_dir()
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["frames"] == 6
+    assert stats["n_keyframes"] >= 1
+    rows = np.loadtxt(out / "CameraTrajectory.txt")
+    assert rows.shape[1] == 12
+    # camera-and-object trajectory files
+    assert (out / "CameraAndObjectTrajectory.txt").exists()
+
+
+def test_gba_path_runs(tmp_path):
+    """Global BA after loop correction executes and keeps the map sane."""
+    from pointslot_tpu.config import SystemConfig
+    from pointslot_tpu.datasets.synthetic import SyntheticRenderer, make_scene
+    from pointslot_tpu.slam.system import System
+
+    scene = make_scene(n_frames=8, n_objects=0, seed=95, forward_speed=0.7)
+    renderer = SyntheticRenderer(scene)
+    cfg = SystemConfig()
+    system = System(cfg)
+    for i in range(8):
+        left, right, _ = renderer.render(i)
+        system.track_stereo(left, right, i * 0.1, i)
+    n_pts_before = system.map.n_points()
+    # invoke the GBA path directly (loop closure rarely fires on short runs)
+    kf0 = int(system.map.keyframe_ids()[0])
+    system.loop_closer._global_ba(kf0)
+    assert system.map.n_points() == n_pts_before
+    # poses stay finite and close to their pre-BA values on clean data
+    for k in system.map.keyframe_ids():
+        assert np.all(np.isfinite(system.map.kf_pose[k]))
+    traj = system.camera_trajectory()
+    errs = [
+        np.linalg.norm(np.linalg.inv(T)[:3, 3] - scene.poses_world[f][:3, 3])
+        for f, T, _ in traj
+    ]
+    assert float(np.sqrt(np.mean(np.square(errs)))) < 0.2
