@@ -87,12 +87,22 @@ class System:
                 self.detector.load_npz(det_cfg.weights_path)
             embedder = ReIDEmbedder(feature_dim=det_cfg.reid_feature_dim)
             self.mot = DeepSort(det_cfg, embedder=embedder)
-        # mode 2: manual-ROI template tracking
+        # mode 2: manual-ROI template tracking; mode 1 sub-mode DynaSLAM
+        # carries dynamic-region masks with the same tracker when per-frame
+        # masks are unavailable (reference src/Tracking.cc:127-139)
         self.roi_tracker = None
-        if self.cfg.slot_mode == SLOTMode.MANUAL_TRACKING:
+        if self.cfg.slot_mode == SLOTMode.MANUAL_TRACKING or (
+            self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM
+            and self.cfg.dynaslam_mode == 1
+        ):
             from pointslot_tpu.detect.tracker2d import MultiTracker2D
 
             self.roi_tracker = MultiTracker2D()
+
+        from pointslot_tpu.utils.profiling import PROFILER
+
+        self.profiler = PROFILER
+        self.profiler.enabled = self.cfg.runtime.profile
 
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf: int):
@@ -183,6 +193,31 @@ class System:
                 )
                 instance_mask = self._mask_from_detections(detections, left.shape)
 
+        # DynaSLAM sub-mode: carry dynamic regions across frames without
+        # per-frame masks
+        if self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM and self.cfg.dynaslam_mode == 1:
+            if instance_mask is not None and np.any(instance_mask):
+                # (re)seed the 2D trackers from the mask's component bboxes
+                self.roi_tracker.tracks.clear()
+                for v in np.unique(instance_mask):
+                    if v == 0:
+                        continue
+                    ys, xs = np.nonzero(instance_mask == v)
+                    bbox = (xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                            ys.max() - ys.min() + 1)
+                    self.roi_tracker.add(left, bbox)
+            elif self.roi_tracker is not None and self.roi_tracker.tracks:
+                live = self.roi_tracker.update(left)
+                mask = np.zeros(left.shape[:2], np.int32)
+                for k, t in enumerate(live):
+                    x, y, w, h = t.bbox
+                    x0, y0 = int(max(x, 0)), int(max(y, 0))
+                    x1 = int(min(x + w, mask.shape[1]))
+                    y1 = int(min(y + h, mask.shape[0]))
+                    if x1 > x0 and y1 > y0:
+                        mask[y0:y1, x0:x1] = k + 1
+                instance_mask = mask
+
         gate = None
         if self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM and instance_mask is not None:
             gate = instance_mask == 0
@@ -203,7 +238,8 @@ class System:
                             len(tr.poses_cf) >= self.cfg.objects.dyn_hysteresis_votes:
                         gate |= instance_mask == det.mask_value
 
-        sf = self.frontend(left, right, gate=gate)
+        with self.profiler.timer("frontend"):
+            sf = self.frontend(left, right, gate=gate)
         frame = FrameRecord(
             frame_id=frame_id,
             xy=np.asarray(sf.xy),
@@ -222,14 +258,15 @@ class System:
             yi = np.clip(np.round(frame.xy[:, 1]).astype(int), 0, gate.shape[0] - 1)
             xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, gate.shape[1] - 1)
             frame.valid = frame.valid & np.asarray(gate)[yi, xi]
-        with self.map_lock:
+        with self.profiler.timer("tracking"), self.map_lock:
             self.tracker.track(frame)
         self.timestamps.append(timestamp)
 
         if self._object_system is not None and frame.T_cw is not None:
-            self._object_system.process_frame(
-                frame, left, right, detections, instance_mask, timestamp
-            )
+            with self.profiler.timer("objects"):
+                self._object_system.process_frame(
+                    frame, left, right, detections, instance_mask, timestamp
+                )
 
         self.frame_times.append(time.perf_counter() - t0)
         return frame
@@ -348,6 +385,9 @@ class System:
             self._mapping_thread = None
         med = float(np.median(self.frame_times)) if self.frame_times else 0.0
         mean = float(np.mean(self.frame_times)) if self.frame_times else 0.0
-        return {"median_track_s": med, "mean_track_s": mean,
-                "n_keyframes": self.map.n_keyframes(),
-                "n_points": self.map.n_points()}
+        out = {"median_track_s": med, "mean_track_s": mean,
+               "n_keyframes": self.map.n_keyframes(),
+               "n_points": self.map.n_points()}
+        if self.profiler.enabled:
+            out["profile"] = self.profiler.summary()
+        return out
