@@ -343,6 +343,22 @@ class System:
             out_dir, self._object_system.export_detections(), len(self.timestamps)
         )
 
+    def save_object_poses_camera_frame(self, path: str):
+        """Per-frame object poses in the CAMERA frame, one line per
+        (frame, track): `frame_id track_id r00 ... t2` (12-float T_co rows)
+        — the reference's SaveObjectDetectionResultsInCameraFrame
+        (src/System.cc:474-543)."""
+        if self._object_system is None:
+            raise RuntimeError("object pipeline inactive in this SLOT mode")
+        lines = []
+        for track in self._object_system.all_tracks:
+            for f in sorted(track.poses_cf):
+                T = track.poses_cf[f]
+                vals = " ".join(f"{v:.9f}" for v in T[:3, :4].reshape(-1))
+                lines.append(f"{f} {track.track_id} {vals}")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
     def save_trajectory_camera_and_objects(self, camera_path: str,
                                            object_path_prefix: str = None):
         """Camera trajectory + per-object world-frame trajectories in KITTI
