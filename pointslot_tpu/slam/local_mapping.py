@@ -138,6 +138,7 @@ class LocalMapper:
             if len(good) == 0:
                 continue
             pts_new = m.alloc_points(len(good))
+            good = good[: len(pts_new)]
             m.pt_pos[pts_new] = X[good]
             m.pt_desc[pts_new] = m.kf_desc[kf, sel[good]]
             m.pt_first_kf[pts_new] = kf

@@ -88,7 +88,17 @@ class MapState:
     def alloc_keyframe(self) -> int:
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
-            raise RuntimeError("keyframe table full")
+            # table full: evict the least-connected keyframe (not the oldest
+            # — it anchors the gauge) so long sequences degrade gracefully
+            valid = self.keyframe_ids()
+            oldest = valid[np.argmin(self.kf_frame_id[valid])]
+            weights = [
+                (int(self.covisibility_weights(int(k)).sum()), int(k))
+                for k in valid if k != oldest
+            ]
+            weights.sort()
+            self.remove_keyframe(weights[0][1])
+            free = np.nonzero(~self.kf_valid)[0]
         k = int(free[0])
         self.kf_valid[k] = True
         self.kf_uid[k] = self._next_uid
@@ -96,9 +106,9 @@ class MapState:
         return k
 
     def alloc_points(self, n: int) -> np.ndarray:
+        """Allocate up to n point rows (fewer when the table is near full —
+        callers must size their writes to the returned array)."""
         free = np.nonzero(~self.pt_valid)[0][:n]
-        if len(free) < n:
-            raise RuntimeError("map point table full")
         self.pt_valid[free] = True
         return free
 

@@ -419,12 +419,15 @@ class CameraTracker:
         if len(fidx) == 0:
             return np.array([], np.int64)
         T_wc = np.linalg.inv(frame.T_cw)
+        pts = m.alloc_points(len(fidx))
+        fidx = fidx[: len(pts)]  # table may be near capacity
+        if len(fidx) == 0:
+            return pts
         z = frame.depth[fidx]
         x = (frame.xy[fidx, 0] - cam.cx) * z / cam.fx
         y = (frame.xy[fidx, 1] - cam.cy) * z / cam.fy
         pc = np.stack([x, y, z], axis=1)
         pw = pc @ T_wc[:3, :3].T + T_wc[:3, 3]
-        pts = m.alloc_points(len(fidx))
         m.pt_pos[pts] = pw
         m.pt_desc[pts] = frame.desc[fidx]
         m.pt_first_kf[pts] = kf

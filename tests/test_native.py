@@ -77,3 +77,20 @@ def test_hamming_nn_matches_numpy(rng):
     d = (bits_a[:, None, :] != bits_b[None, :, :]).sum(-1)
     np.testing.assert_array_equal(dist, d.min(axis=1))
     np.testing.assert_array_equal(d[np.arange(37), idx], d.min(axis=1))
+
+
+def test_map_capacity_graceful(rng):
+    """Keyframe eviction + point-table saturation must not crash."""
+    from pointslot_tpu.slam.map_state import MapState
+
+    m = MapState(max_kfs=4, max_points=64, feats_per_kf=16)
+    for i in range(6):
+        k = m.alloc_keyframe()
+        m.kf_frame_id[k] = i
+        pts = m.alloc_points(20)
+        assert len(pts) <= 20
+        if len(pts):
+            m.bind(k, np.arange(min(len(pts), 16)), pts[:16])
+    assert m.n_keyframes() <= 4
+    # oldest keyframe survives eviction (gauge anchor)
+    assert 0 in [int(m.kf_frame_id[k]) for k in m.keyframe_ids()]
