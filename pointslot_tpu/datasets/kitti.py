@@ -150,6 +150,36 @@ def read_virtual_kitti_objects(pose_file: str, bbox_file: str) -> np.ndarray:
     return np.asarray(rows) if rows else np.zeros((0, 24))
 
 
+def read_mynteye_object_rows(
+    path: str,
+    dims=(1.6, 1.5, 3.0),
+    location=(0.0, 0.0, 5.0),
+    rotation_y: float = 0.0,
+) -> np.ndarray:
+    """MYNTEYE single-object bbox file -> 1x24 rows (reference
+    ReadMynteyeObjectInfo src/Tracking.cc:889-960: per line
+    `frame x y w h`; dims/location/rotation come from the config priors)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 5:
+                continue
+            row = np.zeros(24)
+            row[0] = float(parts[0])
+            row[1] = 1  # single fixed track id
+            row[3] = 1.0  # occluded flag as the reference sets it
+            row[5:9] = [float(p) for p in parts[1:5]]
+            row[9:12] = dims
+            row[12:15] = location
+            row[15] = rotation_y
+            row[16] = 1.0
+            row[17] = 1.0
+            row[18] = 1.0
+            rows.append(row)
+    return np.asarray(rows) if rows else np.zeros((0, 24))
+
+
 @dataclass
 class KittiTrackingSequence:
     root: str

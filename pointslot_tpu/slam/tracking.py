@@ -364,6 +364,10 @@ class CameraTracker:
         m.pt_found[found] += 1
         m.pt_visible[found] += 1
         self.n_matches_inliers = n
+        from pointslot_tpu.utils.profiling import PROFILER
+
+        PROFILER.count("frames_tracked")
+        PROFILER.count("inliers_total", n)
         return n >= self.cfg.tracking.min_inliers_local_map
 
     # ------------------------------------------------------------------

@@ -60,3 +60,38 @@ def test_bow_text_vocab_roundtrip(tmp_path, rng):
     desc = words[3].view(np.uint32)[None, :]
     _, wid = vocab.transform(desc, np.ones(1, bool))
     assert int(wid[0]) == 3
+
+
+def test_read_mynteye(tmp_path):
+    from pointslot_tpu.datasets.kitti import read_mynteye_object_rows
+
+    p = tmp_path / "obj.txt"
+    p.write_text("0 10 20 50 40\n1 12 21 50 40\n")
+    rows = read_mynteye_object_rows(str(p), dims=(1.0, 2.0, 3.0),
+                                    location=(0.5, 0.0, 4.0))
+    assert rows.shape == (2, 24)
+    np.testing.assert_allclose(rows[0][5:9], [10, 20, 50, 40])
+    np.testing.assert_allclose(rows[1][0], 1)
+    np.testing.assert_allclose(rows[0][9:12], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(rows[0][12:15], [0.5, 0.0, 4.0])
+
+
+def test_save_object_poses_camera_frame(tmp_path):
+    from pointslot_tpu.config import SLOTMode, SystemConfig
+    from pointslot_tpu.slam.objects import ObjectTrack
+    from pointslot_tpu.slam.system import System
+
+    cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+    cfg = cfg.replace(loop=cfg.loop.__class__(
+        **{**cfg.loop.__dict__, "enabled": False}))
+    system = System(cfg)
+    t = ObjectTrack(track_id=7, dims=np.array([3.0, 1.5, 1.6]), max_points=8)
+    T = np.eye(4); T[:3, 3] = [1, 2, 10]
+    t.poses_cf[3] = T
+    system._object_system.all_tracks.append(t)
+    path = tmp_path / "obj_cam.txt"
+    system.save_object_poses_camera_frame(str(path))
+    parts = path.read_text().split()
+    assert int(parts[0]) == 3 and int(parts[1]) == 7
+    vals = np.asarray([float(v) for v in parts[2:14]]).reshape(3, 4)
+    np.testing.assert_allclose(vals, T[:3, :4], atol=1e-8)
