@@ -13,7 +13,7 @@ keep on the ReID embedding network (detect/reid.py), not here.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from pointslot_tpu.native import hungarian

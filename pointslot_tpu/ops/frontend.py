@@ -20,7 +20,6 @@ from pointslot_tpu.config import ORBConfig
 from pointslot_tpu.ops import fast as fast_ops
 from pointslot_tpu.ops import pyramid as pyr_ops
 from pointslot_tpu.ops.orb import FeatureSet, ORBExtractor
-from pointslot_tpu.ops.stereo import StereoMatches, pad_pyramid_stack, stereo_match
 
 
 class StereoFrame(NamedTuple):

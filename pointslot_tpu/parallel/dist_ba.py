@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from pointslot_tpu.geometry import se3
-from pointslot_tpu.solvers.local_ba import BAProblem, _edge_chi2, _edge_residuals
+from pointslot_tpu.solvers.local_ba import BAProblem, _edge_residuals
 
 
 def distributed_bundle_adjust(

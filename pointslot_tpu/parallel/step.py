@@ -19,12 +19,9 @@ on a virtual device mesh, and what a pod-slice deployment jits for real.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from pointslot_tpu.config import ORBConfig

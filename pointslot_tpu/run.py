@@ -19,7 +19,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 
 def main(argv=None):
@@ -36,7 +35,7 @@ def main(argv=None):
     ap.add_argument("--no-loop", action="store_true")
     args = ap.parse_args(argv)
 
-    from pointslot_tpu.config import SLOTMode, SystemConfig, load_yaml
+    from pointslot_tpu.config import SystemConfig, load_yaml
 
     cfg = SystemConfig()
     if args.config:

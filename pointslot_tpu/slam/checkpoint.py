@@ -10,8 +10,6 @@ every object track serialize to one compressed npz.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 
 _MAP_FIELDS = [

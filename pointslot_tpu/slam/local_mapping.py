@@ -70,7 +70,6 @@ class LocalMapper:
         far tail beyond th_depth (LocalMapping::CreateNewMapPoints,
         reference src/LocalMapping.cc:414; close points come directly from
         stereo unprojection at keyframe creation)."""
-        import jax
         import jax.numpy as jnp
 
         from pointslot_tpu.geometry import triangulation as tri

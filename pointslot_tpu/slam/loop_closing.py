@@ -16,7 +16,7 @@ graph is solvers/posegraph.py's batched GN.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set
+from typing import List, Optional, Set
 
 import jax
 import jax.numpy as jnp

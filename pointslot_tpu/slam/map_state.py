@@ -12,8 +12,8 @@ Device kernels only ever see padded array views of these tables.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 

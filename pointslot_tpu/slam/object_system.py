@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointslot_tpu.config import SystemConfig
-from pointslot_tpu.geometry import se3
 from pointslot_tpu.slam import matchers
 from pointslot_tpu.slam.objects import Detection, ObjectKeyFrameRec, ObjectTrack
 from pointslot_tpu.solvers import local_ba, pose_opt

@@ -20,7 +20,7 @@ from pointslot_tpu.config import SLOTMode, SystemConfig
 from pointslot_tpu.ops.frontend import StereoFrontend
 from pointslot_tpu.slam.local_mapping import LocalMapper
 from pointslot_tpu.slam.map_state import MapState
-from pointslot_tpu.slam.tracking import CameraTracker, FrameRecord, TrackingState
+from pointslot_tpu.slam.tracking import CameraTracker, FrameRecord
 
 
 class System:
@@ -122,8 +122,6 @@ class System:
         (reference src/System.cc:106-118 spawns them; hand-off is the
         InsertKeyFrame queue, src/LocalMapping.cc:265). Shares MapState with
         tracking under map_lock (the reference's mMutexMapUpdate)."""
-        import queue as _q
-
         while True:
             kf = self._mapping_queue.get()
             if kf is None:

@@ -12,8 +12,8 @@ pose solves) happens in jitted kernels.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

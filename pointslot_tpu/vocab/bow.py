@@ -16,7 +16,6 @@ ingest that format's text export when available.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
