@@ -362,7 +362,10 @@ class CameraTracker:
             n = self.n_matches_inliers
         found = frame.point_idx[frame.point_idx >= 0]
         m.pt_found[found] += 1
-        m.pt_visible[found] += 1
+        # visible was already counted for the projected local points; only
+        # add it for points bound in the earlier motion-model stage
+        not_counted = found[~np.isin(found, local_pts)]
+        m.pt_visible[not_counted] += 1
         self.n_matches_inliers = n
         from pointslot_tpu.utils.profiling import PROFILER
 
