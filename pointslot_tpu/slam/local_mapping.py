@@ -110,19 +110,25 @@ class LocalMapper:
             sel = np.nonzero(idx >= 0)[0]
             if len(sel) < 5:
                 continue
+            n_pad = 64  # shape bucketing for the jitted triangulation
+            while n_pad < len(sel):
+                n_pad *= 2
             P1 = jnp.asarray(K @ m.kf_pose[kf][:3, :4].astype(np.float64))
             P2 = jnp.asarray(K @ m.kf_pose[n][:3, :4].astype(np.float64))
-            uv1 = jnp.asarray(m.kf_xy[kf, sel], jnp.float32)
-            uv2 = jnp.asarray(m.kf_xy[n, idx[sel]], jnp.float32)
+            uv1p = np.zeros((n_pad, 2), np.float32)
+            uv2p = np.zeros((n_pad, 2), np.float32)
+            uv1p[: len(sel)] = m.kf_xy[kf, sel]
+            uv2p[: len(sel)] = m.kf_xy[n, idx[sel]]
             X, well_posed = tri.triangulate(
-                jnp.broadcast_to(P1, (len(sel), 3, 4)),
-                jnp.broadcast_to(P2, (len(sel), 3, 4)), uv1, uv2,
+                jnp.broadcast_to(P1, (n_pad, 3, 4)),
+                jnp.broadcast_to(P2, (n_pad, 3, 4)),
+                jnp.asarray(uv1p), jnp.asarray(uv2p),
             )
-            X = np.asarray(X, np.float64)
-            ok = np.array(well_posed)  # writable host copy
+            X = np.asarray(X, np.float64)[: len(sel)]
+            ok = np.array(well_posed)[: len(sel)]  # writable host copy
             # validate: positive depth + reprojection error in both views
-            for T, uv in ((m.kf_pose[kf], np.asarray(uv1)),
-                          (m.kf_pose[n], np.asarray(uv2))):
+            for T, uv in ((m.kf_pose[kf], uv1p[: len(sel)]),
+                          (m.kf_pose[n], uv2p[: len(sel)])):
                 pc = X @ T[:3, :3].T.astype(np.float64) + T[:3, 3]
                 z = pc[:, 2]
                 u = cam.fx * pc[:, 0] / np.maximum(z, 1e-9) + cam.cx
@@ -207,17 +213,27 @@ class LocalMapper:
         cam_center = -T[:3, :3].T @ T[:3, 3]
         dists = np.linalg.norm(m.pt_pos[cand] - cam_center, axis=1)
         pred_level = m.predict_scale(dists, cand)
+        M = len(cand)
+        M_pad = 256  # shape bucketing (see tracking._match_and_optimize)
+        while M_pad < M:
+            M_pad *= 2
+
+        def padM(a, fill=0):
+            out = np.full((M_pad,) + a.shape[1:], fill, a.dtype)
+            out[:M] = a
+            return out
+
         res = matchers.project_and_match(
-            jnp.asarray(m.pt_pos[cand], jnp.float32),
-            jnp.asarray(m.pt_desc[cand]),
-            jnp.asarray(m.pt_valid[cand]),
+            jnp.asarray(padM(m.pt_pos[cand].astype(np.float32))),
+            jnp.asarray(padM(m.pt_desc[cand])),
+            jnp.asarray(padM(m.pt_valid[cand], False)),
             jnp.asarray(T, jnp.float32),
             jnp.asarray(m.kf_xy[kf]), jnp.asarray(m.kf_level[kf]),
             jnp.asarray(m.kf_desc[kf]),
             jnp.asarray(m.kf_feat_valid[kf] & (m.kf_point_idx[kf] < 0)),
-            jnp.full((len(cand),), 3.0, jnp.float32),
+            jnp.full((M_pad,), 3.0, jnp.float32),
             jnp.asarray(self._scales),
-            jnp.asarray(pred_level, jnp.int32),
+            jnp.asarray(padM(pred_level.astype(np.int32))),
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             th_desc=matchers.TH_LOW,
             **self._cam_args,

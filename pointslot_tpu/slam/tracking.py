@@ -217,16 +217,27 @@ class CameraTracker:
         M = len(pt_idx)
         if M < 10:
             return 0
+        # bucket the point-set size to a power of two: every distinct shape
+        # is a fresh XLA compilation, prohibitive on remote-compile setups
+        M_pad = 256
+        while M_pad < M:
+            M_pad *= 2
+
+        def pad(a, fill=0):
+            out = np.full((M_pad,) + a.shape[1:], fill, a.dtype)
+            out[:M] = a
+            return out
+
         res = matchers.project_and_match(
-            jnp.asarray(m.pt_pos[pt_idx], jnp.float32),
-            jnp.asarray(m.pt_desc[pt_idx]),
-            jnp.asarray(m.pt_valid[pt_idx]),
+            jnp.asarray(pad(m.pt_pos[pt_idx].astype(np.float32))),
+            jnp.asarray(pad(m.pt_desc[pt_idx])),
+            jnp.asarray(pad(m.pt_valid[pt_idx], False)),
             jnp.asarray(T_init, jnp.float32),
             jnp.asarray(frame.xy), jnp.asarray(frame.level),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.full((M,), radius, jnp.float32),
+            jnp.full((M_pad,), radius, jnp.float32),
             self._scales,
-            jnp.asarray(pred_level, jnp.int32),
+            jnp.asarray(pad(pred_level.astype(np.int32))),
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             th_desc=th_desc,
             **self._cam_args,
