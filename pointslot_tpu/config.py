@@ -160,6 +160,9 @@ class ObjectConfig:
     ba_window_kf_ids: int = 120
     ba_min_covisible_kfs: int = 8
     vehicle_axle_distance: float = 0.15
+    # GMS grid-statistics filtering of object brute matches (the reference's
+    # SearchByBruceMatchingWithGMS path)
+    use_gms: bool = False
 
 
 @dataclass(frozen=True)
@@ -214,6 +217,9 @@ class LoopConfig:
     min_sim3_inliers: int = 20
     fix_scale: bool = True   # stereo
     pose_graph_cg_iters: int = 100
+    # optional DBoW2 text-format vocabulary (ORBvoc.txt); default trains a
+    # small self-consistent vocabulary from synthetic descriptors
+    vocab_path: Optional[str] = None
     # full-map BA after loop correction (the reference's detached-thread
     # GBA). Off by default: when pre-loop data associations were made under
     # heavy drift, joint refinement can lock in a consistent-but-deformed

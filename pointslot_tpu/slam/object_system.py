@@ -426,6 +426,38 @@ class ObjectSystem:
         binds = [np.asarray(bind_j[oi]).astype(np.int64)[: len(fsels[oi])]
                  for oi in range(O)]
 
+        if self.cfg.objects.use_gms:
+            # GMS consistency filter on the brute matches, using each
+            # point's predicted projection as the second view (the
+            # reference's SearchByBruceMatchingWithGMS role)
+            from pointslot_tpu.ops.gms import gms_filter
+
+            cam = self.cfg.camera
+            for oi, (det, _, track) in enumerate(items):
+                bind = binds[oi]
+                good = np.nonzero(bind >= 0)[0]
+                if len(good) < 20:
+                    continue
+                po = track.pt_pos[bind[good]]
+                T = T_pred[oi].astype(np.float64)
+                pc = po @ T[:3, :3].T + T[:3, 3]
+                z = np.maximum(pc[:, 2], 1e-6)
+                proj = np.stack(
+                    [cam.fx * pc[:, 0] / z + cam.cx,
+                     cam.fy * pc[:, 1] / z + cam.cy], axis=1)
+                xy_a = np.zeros((F_CAP, 2), np.float32)
+                xy_b = np.zeros((F_CAP, 2), np.float32)
+                vmask = np.zeros(F_CAP, bool)
+                n = len(good)
+                xy_a[:n] = feats.xy[fsels[oi][good]]
+                xy_b[:n] = proj
+                vmask[:n] = True
+                keep = np.asarray(gms_filter(
+                    jnp.asarray(xy_a), jnp.asarray(xy_b), jnp.asarray(vmask),
+                    cam.width, cam.height,
+                ))[:n]
+                bind[good[~keep]] = -1
+
         edges1, _ = self._build_edges(items, binds, feats)
         # pad edges pytree to O_pad
         def padO(a):

@@ -38,9 +38,14 @@ class System:
         self.loop_closer = None
         if self.cfg.loop.enabled:
             from pointslot_tpu.slam.loop_closing import LoopCloser, Relocalizer
-            from pointslot_tpu.vocab.bow import train_default_vocab
+            from pointslot_tpu.vocab.bow import (
+                load_orb_vocab_text, train_default_vocab,
+            )
 
-            vocab = train_default_vocab()
+            if self.cfg.loop.vocab_path:
+                vocab = load_orb_vocab_text(self.cfg.loop.vocab_path)
+            else:
+                vocab = train_default_vocab()
             self.loop_closer = LoopCloser(self.cfg, self.map, vocab)
             self.loop_closer.on_loop_closed = self._on_loop_closed
             self.tracker.relocalizer = Relocalizer(

@@ -108,3 +108,34 @@ def test_object_export(tmp_path, slot_run):
     line = nonempty[-1].read_text().strip().split("\n")[0].split()
     assert line[0] == "Car"
     assert len(line) == 16
+
+
+def test_object_tracking_with_gms():
+    """Mode 4 with GMS filtering of object brute matches stays functional."""
+    scene = make_scene(n_frames=6, n_points=2500, n_objects=1, seed=33,
+                       forward_speed=0.8)
+    renderer = SyntheticRenderer(scene)
+    rows = offline_detection_rows(scene)
+    cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+    cfg = cfg.replace(
+        objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "init_min_features": 10,
+               "init_min_map_points": 8, "min_tracked_points": 8,
+               "track_min_features": 10, "set_init_position_by_points": False,
+               "use_gms": True}),
+        tracking=cfg.tracking.__class__(
+            **{**cfg.tracking.__dict__, "min_init_stereo_features": 350}),
+        loop=cfg.loop.__class__(**{**cfg.loop.__dict__, "enabled": False}),
+    )
+    system = System(cfg)
+    for i in range(6):
+        left, right, inst = renderer.render(i)
+        frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+        dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
+                for r in frame_rows]
+        system.track_stereo(left, right, i * 0.1, i, detections=dets,
+                            instance_mask=inst)
+    objsys = system._object_system
+    assert len(objsys.all_tracks) >= 1
+    best = max(objsys.all_tracks, key=lambda t: len(t.poses_cf))
+    assert len(best.poses_cf) >= 3
