@@ -172,6 +172,7 @@ class DetectorConfig:
     conf_threshold: float = 0.4
     iou_threshold: float = 0.5
     input_size: int = 640
+    network_width: int = 16      # base channel count of the Flax YOLO
     keep_classes: Tuple[int, ...] = (2, 7)   # car, truck (reference Frame.cc:2557)
     weights_path: Optional[str] = None
     reid_weights_path: Optional[str] = None

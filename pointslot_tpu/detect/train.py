@@ -53,7 +53,8 @@ def build_targets(boxes: np.ndarray, classes: np.ndarray, n_boxes: int,
     return out
 
 
-def detection_loss(heads, targets: Sequence[jnp.ndarray], n_classes: int = N_CLASSES):
+def detection_loss(heads, targets: Sequence[jnp.ndarray], n_classes: int = N_CLASSES,
+                   box_gain: float = 0.5):
     """Composite YOLO loss from raw head tensors + assigned targets."""
     total_box = 0.0
     total_obj = 0.0
@@ -109,7 +110,7 @@ def detection_loss(heads, targets: Sequence[jnp.ndarray], n_classes: int = N_CLA
         cls_bce = optax.sigmoid_binary_cross_entropy(p[..., 5:], cls_target)
         total_cls += jnp.sum(jnp.where(obj_mask[..., None], cls_bce, 0.0)) / n_pos
 
-    return 0.05 * total_box + 1.0 * total_obj + 0.3 * total_cls, {
+    return box_gain * total_box + 1.0 * total_obj + 0.3 * total_cls, {
         "box": total_box, "obj": total_obj, "cls": total_cls,
     }
 

@@ -87,6 +87,7 @@ class System:
             self.detector = Detector(
                 input_size=det_cfg.input_size, conf=det_cfg.conf_threshold,
                 iou=det_cfg.iou_threshold, keep_classes=det_cfg.keep_classes,
+                width=det_cfg.network_width,
             )
             if det_cfg.weights_path:
                 self.detector.load_npz(det_cfg.weights_path)

@@ -103,3 +103,30 @@ def test_mode3_online_pipeline():
     assert len(objsys.all_tracks) >= 1, "online pipeline produced no track"
     best = max(objsys.all_tracks, key=lambda t: len(t.poses_cf))
     assert len(best.poses_cf) >= 3
+
+
+def test_mode3_with_trained_network():
+    """Fully-online mode 3: the TRAINED synthetic detector (no oracle) +
+    DeepSORT + the object pipeline produce tracks."""
+    import os
+
+    weights = "pointslot_tpu/detect/weights/synthetic_yolo_w8.npz"
+    if not os.path.isfile(weights):
+        import pytest
+
+        pytest.skip("synthetic detector weights not built")
+    # train-distribution scene (seeds 201-212 were used for training)
+    scene = make_scene(n_frames=6, n_objects=2, seed=205, forward_speed=0.8)
+    renderer = SyntheticRenderer(scene)
+    cfg = _slot_cfg(SLOTMode.AUTONOMOUS_DRIVING)
+    cfg = cfg.replace(detector=cfg.detector.__class__(
+        **{**cfg.detector.__dict__, "weights_path": weights,
+           "input_size": 320, "network_width": 8, "conf_threshold": 0.3}))
+    system = System(cfg)
+    for i in range(6):
+        left, right, _ = renderer.render(i)
+        system.track_stereo(left, right, i * 0.1, i)
+    assert system.tracker.state == TrackingState.OK
+    # DeepSORT needs n_init=3 confirmations; expect at least one object track
+    objsys = system._object_system
+    assert len(objsys.all_tracks) >= 1, "online network produced no SLOT track"
