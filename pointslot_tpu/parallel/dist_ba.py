@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from pointslot_tpu.geometry import se3
-from pointslot_tpu.solvers.local_ba import BAProblem, _edge_residuals
+from pointslot_tpu.solvers.local_ba import BAProblem, _edge_residuals, _inv3x3
 
 
 def distributed_bundle_adjust(
@@ -94,7 +94,7 @@ def distributed_bundle_adjust(
 
             # replicated Schur solve (identical on every device)
             Hll_d = Hll + damping * jnp.eye(3)[None] + 1e-9 * jnp.eye(3)[None]
-            Hll_inv = jnp.linalg.inv(Hll_d)
+            Hll_inv = _inv3x3(Hll_d)
             Hll_inv = jnp.where(point_valid[:, None, None], Hll_inv, 0.0)
             W2 = jnp.einsum("plij,ljk->plik", Wc, Hll_inv)
             S = -jnp.einsum("alik,bljk->abij", W2, Wc)

@@ -60,11 +60,41 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray         # () final robust cost
 
 
+def _gather_poses(poses, e_pose):
+    """poses (P, 4, 4) indexed by (E,) — as a one-hot matmul (P is small and
+    TPU gathers are slow; one (E, P) x (P, 16) contraction is exact and
+    bandwidth-bound)."""
+    P = poses.shape[0]
+    onehot = (
+        e_pose[:, None] == jnp.arange(P, dtype=e_pose.dtype)[None, :]
+    ).astype(poses.dtype)
+    return jax.lax.dot_general(
+        onehot, poses.reshape(P, 16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, 4, 4)
+
+
+def _edge_points_cam(poses, points, prob, fx, fy, cx, cy, bf):
+    T = _gather_poses(poses, prob.e_pose)                   # (E, 4, 4)
+    X = points[prob.e_point]                                # (E, 3)
+    return se3.transform_points(T, X), T
+
+
+def _edge_residuals_only(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
+    """Residuals (E, 3) + behind mask, no Jacobians (for LM cost checks)."""
+    pc, _ = _edge_points_cam(poses, points, prob, fx, fy, cx, cy, bf)
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = fx * pc[..., 0] / z + cx
+    v = fy * pc[..., 1] / z + cy
+    res = jnp.stack([u, v, u - bf / z], axis=-1) - prob.e_obs
+    return res, pc[..., 2] <= 0.05
+
+
 def _edge_residuals(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
     """Residuals (E, 3), pose Jacobians (E, 3, 6), point Jacobians (E, 3, 3)."""
-    T = poses[prob.e_pose]                                  # (E, 4, 4)
-    X = points[prob.e_point]                                # (E, 3)
-    pc = se3.transform_points(T, X)
+    pc, T = _edge_points_cam(poses, points, prob, fx, fy, cx, cy, bf)
     x, y = pc[..., 0], pc[..., 1]
     z = jnp.maximum(pc[..., 2], 1e-6)
     iz = 1.0 / z
@@ -89,6 +119,34 @@ def _edge_residuals(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
     J_point = J_p @ T[..., :3, :3]                           # (E, 3, 3)
     behind = pc[..., 2] <= 0.05
     return res, J_pose, J_point, behind
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det) — the batched
+    jnp.linalg.inv lowers to a generic LU path on TPU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
 
 
 def _edge_chi2(res, stereo, inv_sigma2):
@@ -122,7 +180,7 @@ def bundle_adjust(
     delta2 = jnp.where(prob.e_stereo, delta_stereo, delta_mono)
 
     def total_cost(poses, points, active, robust):
-        res, _, _, behind = _edge_residuals(poses, points, prob, fx, fy, cx, cy, bf)
+        res, behind = _edge_residuals_only(poses, points, prob, fx, fy, cx, cy, bf)
         chi2 = _edge_chi2(res, prob.e_stereo, prob.e_inv_sigma2)
         per_edge = _robust_cost(chi2, delta2) if robust else chi2
         return jnp.sum(jnp.where(active & ~behind, per_edge, 0.0))
@@ -173,7 +231,7 @@ def bundle_adjust(
                 jnp.diagonal(Hll, axis1=1, axis2=2), 1e-6
             )[:, :, None] * jnp.eye(3)[None])
             Hll_d = Hll_d + 1e-9 * jnp.eye(3)[None]
-            Hll_inv = jnp.linalg.inv(Hll_d)
+            Hll_inv = _inv3x3(Hll_d)
             Hll_inv = jnp.where(
                 prob.point_valid[:, None, None], Hll_inv, jnp.zeros_like(Hll_inv)
             )
