@@ -127,3 +127,32 @@ def test_ba_dof_mask_freezes_rotation(rng):
         dT = np.asarray(result.poses[i]) @ np.linalg.inv(np.asarray(prob.poses[i]))
         xi = np.asarray(se3.se3_log(jnp.asarray(dT, jnp.float32)))
         assert abs(xi[3]) < 1e-5 and abs(xi[5]) < 1e-5
+
+
+def test_sorted_segment_sum_matches(rng):
+    from pointslot_tpu.solvers.segsum import sorted_segment_sum
+    import jax
+
+    E, D, L = 3000, 7, 500
+    seg = np.sort(rng.integers(0, L, E)).astype(np.int32)
+    vals = rng.normal(size=(E, D)).astype(np.float32)
+    ref = np.asarray(jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg), L))
+    got = np.asarray(sorted_segment_sum(jnp.asarray(vals), jnp.asarray(seg), L,
+                                        chunk=256))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    # degenerate cases: all one segment / empty tail segments
+    seg2 = np.zeros(E, np.int32)
+    got2 = np.asarray(sorted_segment_sum(jnp.asarray(vals), jnp.asarray(seg2), L,
+                                         chunk=256))
+    np.testing.assert_allclose(got2[0], vals.sum(0), rtol=1e-5)
+    np.testing.assert_allclose(got2[1:], 0.0, atol=1e-6)
+
+
+def test_inv3x3_matches_linalg(rng):
+    from pointslot_tpu.solvers.local_ba import _inv3x3
+
+    A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    A = A @ np.transpose(A, (0, 2, 1)) + 0.5 * np.eye(3)  # well-conditioned SPD
+    got = np.asarray(_inv3x3(jnp.asarray(A)))
+    ref = np.linalg.inv(A)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
