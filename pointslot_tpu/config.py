@@ -218,14 +218,30 @@ class LoopConfig:
     min_sim3_inliers: int = 20
     fix_scale: bool = True   # stereo
     pose_graph_cg_iters: int = 100
+    # detection policy (reference src/LoopClosing.cc:106 DetectLoop)
+    min_kfs_before_detect: int = 10   # map must have this many KFs
+    cooldown_kfs: int = 10            # KFs between accepted loops
+    min_frame_distance: int = 20      # candidate must be this many frames old
+    max_candidates: int = 5           # BoW candidates examined per query
+    # relocalization BoW floor (reference KeyFrameDatabase::
+    # DetectRelocalizationCandidates minScore analog)
+    reloc_min_score: float = 0.015
+    reloc_max_candidates: int = 5
+    # inlier-weighted IRLS refinement of the RANSAC loop transform
+    # (reference Optimizer::OptimizeSim3, src/Optimizer.cc:1684)
+    refine_transform_iters: int = 4
     # optional DBoW2 text-format vocabulary (ORBvoc.txt); default trains a
     # small self-consistent vocabulary from synthetic descriptors
     vocab_path: Optional[str] = None
     # full-map BA after loop correction (the reference's detached-thread
-    # GBA). Off by default: when pre-loop data associations were made under
-    # heavy drift, joint refinement can lock in a consistent-but-deformed
-    # shape; the pose graph alone recovers the trajectory on our fixtures.
-    run_global_ba: bool = False
+    # GBA, src/LoopClosing.cc:648-752). Duplicate map structure across the
+    # loop is merged first (SearchAndFuse analog) so the joint solve pulls
+    # the loop together instead of locking in pre-correction drift.
+    run_global_ba: bool = True
+    # global-BA structure caps (all keyframes participate; points beyond the
+    # cap are corrected by their reference keyframe's pose delta)
+    gba_max_points: int = 8192
+    gba_obs_per_point: int = 8
 
 
 @dataclass(frozen=True)

@@ -169,6 +169,37 @@ def rigid_ransac(
                         ok=n_out >= min_inliers)
 
 
+@partial(jax.jit, static_argnames=("n_iters", "with_scale"))
+def rigid_refine(
+    src: jnp.ndarray,            # (N, 3)
+    dst: jnp.ndarray,            # (N, 3)
+    valid: jnp.ndarray,          # (N,) bool — the RANSAC inlier set
+    T0: jnp.ndarray,             # (4, 4) initial estimate
+    huber_delta: float = 0.15,
+    n_iters: int = 4,
+    with_scale: bool = False,
+) -> jnp.ndarray:
+    """Inlier-weighted IRLS refinement of a rigid (or Sim3) alignment.
+
+    The reference refines its RANSAC loop transform with a g2o
+    Sim3 optimization over the inlier correspondences
+    (Optimizer::OptimizeSim3, reference src/Optimizer.cc:1684). Here the
+    same role is filled by iteratively-reweighted closed-form Horn solves:
+    each round re-solves the weighted alignment with Huber weights on the
+    current 3D residuals, which downweights borderline inliers that a
+    single unweighted solve treats as exact.
+    """
+    def body(_, T):
+        pred = src @ T[:3, :3].T + T[:3, 3]
+        r = jnp.linalg.norm(pred - dst, axis=-1)
+        w_huber = jnp.where(r > huber_delta, huber_delta / jnp.maximum(r, 1e-9), 1.0)
+        w = w_huber * valid.astype(jnp.float32)
+        s, R, t = umeyama(src, dst, w, with_scale=with_scale)
+        return se3.rt_to_mat(s * R, t)
+
+    return jax.lax.fori_loop(0, n_iters, body, T0)
+
+
 def umeyama(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray, with_scale: bool = False
 ):

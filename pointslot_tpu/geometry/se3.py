@@ -59,24 +59,32 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     q = rot_to_quat(R)
     qv, qw = q[..., :3], q[..., 3]
-    nv = jnp.linalg.norm(qv, axis=-1)
-    theta = 2.0 * jnp.arctan2(nv, qw)
+    nv2 = jnp.sum(qv * qv, axis=-1)
+    small = nv2 < 1e-12
+    # double-where: the singular branch must see a safe input, or its
+    # NaN *gradient* at nv -> 0 leaks through the where under autodiff
+    nv_safe = jnp.sqrt(jnp.where(small, 1.0, nv2))
+    theta = 2.0 * jnp.arctan2(nv_safe, qw)
     # scale = theta / sin(theta/2); as nv -> 0, theta -> 0, scale -> 2
-    small = nv < 1e-6
-    scale = jnp.where(small, 2.0 + nv * nv * (2.0 / 3.0), theta / jnp.maximum(nv, _EPS))
+    scale = jnp.where(small, 2.0 + nv2 * (2.0 / 3.0), theta / nv_safe)
     return scale[..., None] * qv
 
 
 def _left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian J_l(omega): (..., 3) -> (..., 3, 3)."""
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     use_taylor = theta2 < _EPS
-    b = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    # double-where: feed the singular branch a safe theta so its gradient
+    # at theta -> 0 stays finite under autodiff
+    theta2_safe = jnp.where(use_taylor, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    b = jnp.where(
+        use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe
+    )
     c = jnp.where(
         use_taylor,
         1.0 / 6.0 - theta2 / 120.0,
-        (theta - jnp.sin(theta)) / (theta2 * theta),
+        (theta - jnp.sin(theta)) / (theta2_safe * theta),
     )
     W = hat(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), W.shape)
@@ -85,13 +93,16 @@ def _left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     use_taylor = theta2 < _EPS
+    # double-where (see _left_jacobian): safe input for the singular branch
+    theta2_safe = jnp.where(use_taylor, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     half = 0.5 * theta
     cot = jnp.where(
         use_taylor,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)) / jnp.maximum(theta2, _EPS),
+        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS))
+        / theta2_safe,
     )
     W = hat(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), W.shape)

@@ -1,12 +1,18 @@
-"""Distributed bundle adjustment: edge-sharded Schur reduction over psum.
+"""Distributed bundle adjustment: point-sharded Schur reduction over psum.
 
 The net-new multi-chip design (nothing to port — the reference is
-single-process): observations (edges) are sharded across the whole mesh;
-every device accumulates partial pose/point Hessian blocks and coupling
-terms from its local edge shard; one ``psum`` over both mesh axes combines
-them; the (small) reduced camera system is then solved identically on every
-device. This is the standard data-parallel Gauss-Newton with an explicit
-Schur complement — collectives ride ICI, host stays out of the loop.
+single-process): the point axis (L) of the point-major BA problem is
+sharded over the whole mesh. Each device assembles the Hessian blocks of
+its own points and back-substitutes them locally; only the pose-coupled
+reductions — Hpp, bp, the (P, P, 6, 6) Schur cross term and the reduced
+rhs — plus the LM cost check cross devices, as psums riding ICI. The
+(small) reduced camera system is then solved identically on every device.
+
+Semantics are identical to the single-chip engine because it IS the
+single-chip engine: ``solvers.local_ba.bundle_adjust`` runs inside
+shard_map with ``axis_name`` set — same Huber staging, same LM
+accept/reject, same between-stage outlier gates (tests/test_parallel.py
+asserts pose-level equivalence).
 """
 
 from __future__ import annotations
@@ -14,118 +20,48 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from pointslot_tpu.geometry import se3
-from pointslot_tpu.solvers.local_ba import BAProblem, _edge_residuals, _inv3x3
+from pointslot_tpu.solvers.local_ba import BAProblem, BAResult, bundle_adjust
+
+_AXIS = "ba_shard"
 
 
 def distributed_bundle_adjust(
     prob: BAProblem,
     mesh,
     fx: float, fy: float, cx: float, cy: float, bf: float,
-    n_iters: int = 10,
-    damping: float = 1e-4,
-):
-    """Gauss-Newton with fixed damping; edges sharded over all mesh axes.
-
-    The edge arrays' leading dim must be divisible by the total device count.
-    Returns (poses, points) like the single-chip engine.
+    stage_iters: tuple = (5, 10),
+    use_huber_stages: tuple = (True, False),
+) -> BAResult:
+    """The full two-stage LM Schur solve, point-sharded over every device
+    of ``mesh``. L must be divisible by the total device count (callers pad
+    to power-of-two caps). Returns the same BAResult as the local engine
+    (points and obs_inlier are gathered back to full size).
     """
     axes = tuple(mesh.axis_names)
-    Pn = prob.poses.shape[0]
-    L = prob.points.shape[0]
+    # point axis sharded over all mesh axes flattened; pose tables replicated
+    lspec = P(axes)
+    rep = P()
+    in_specs = BAProblem(
+        poses=rep, pose_fixed=rep, pose_valid=rep, dof_mask=rep,
+        points=lspec, point_valid=lspec,
+        obs_pose=lspec, obs_uvr=lspec, obs_stereo=lspec,
+        obs_inv_sigma2=lspec, obs_valid=lspec,
+    )
+    out_specs = BAResult(poses=rep, points=lspec, obs_inlier=lspec, cost=rep)
 
-    edge_spec = P(axes)          # shard leading edge axis over all devices
-    rep = P()                    # replicated
-
+    @jax.jit
     @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, rep,
-                  edge_spec, edge_spec, edge_spec, edge_spec, edge_spec, edge_spec),
-        out_specs=(rep, rep),
+        shard_map, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
         check_vma=False,
     )
-    def solve(poses, pose_fixed, pose_valid, dof_mask, points, point_valid,
-              e_pose, e_point, e_obs, e_stereo, e_inv_sigma2, e_valid):
-        local = BAProblem(
-            poses=poses, pose_fixed=pose_fixed, pose_valid=pose_valid,
-            dof_mask=dof_mask, points=points, point_valid=point_valid,
-            e_pose=e_pose, e_point=e_point, e_obs=e_obs, e_stereo=e_stereo,
-            e_inv_sigma2=e_inv_sigma2, e_valid=e_valid,
+    def solve(local: BAProblem) -> BAResult:
+        return bundle_adjust(
+            local, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+            stage_iters=stage_iters, use_huber_stages=use_huber_stages,
+            axis_name=axes,
         )
 
-        def gn_iter(_, carry):
-            poses, points = carry
-            res, J_pose, J_point, behind = _edge_residuals(
-                poses, points, local, fx, fy, cx, cy, bf
-            )
-            ok = e_valid & ~behind
-            w = jnp.where(ok, e_inv_sigma2, 0.0)
-            row_mask = jnp.stack(
-                [jnp.ones_like(w), jnp.ones_like(w), e_stereo.astype(w.dtype)],
-                axis=-1,
-            )
-            J_pose_m = J_pose * dof_mask[e_pose][:, None, :]
-            Jw_pose = J_pose_m * (w[:, None, None] * row_mask[:, :, None])
-            Jw_point = J_point * (w[:, None, None] * row_mask[:, :, None])
-
-            # local partials -> global via psum over the whole mesh
-            Hpp = jax.ops.segment_sum(
-                jnp.einsum("eij,eik->ejk", Jw_pose, J_pose_m), e_pose, Pn
-            )
-            Hll = jax.ops.segment_sum(
-                jnp.einsum("eij,eik->ejk", Jw_point, J_point), e_point, L
-            )
-            bp = jax.ops.segment_sum(jnp.einsum("eij,ei->ej", Jw_pose, res), e_pose, Pn)
-            bl = jax.ops.segment_sum(jnp.einsum("eij,ei->ej", Jw_point, res), e_point, L)
-            Wc = jnp.zeros((Pn, L, 6, 3), res.dtype).at[e_pose, e_point].add(
-                jnp.einsum("eij,eik->ejk", Jw_pose, J_point)
-            )
-            for ax in axes:
-                Hpp = jax.lax.psum(Hpp, ax)
-                Hll = jax.lax.psum(Hll, ax)
-                bp = jax.lax.psum(bp, ax)
-                bl = jax.lax.psum(bl, ax)
-                Wc = jax.lax.psum(Wc, ax)
-
-            # replicated Schur solve (identical on every device)
-            Hll_d = Hll + damping * jnp.eye(3)[None] + 1e-9 * jnp.eye(3)[None]
-            Hll_inv = _inv3x3(Hll_d)
-            Hll_inv = jnp.where(point_valid[:, None, None], Hll_inv, 0.0)
-            W2 = jnp.einsum("plij,ljk->plik", Wc, Hll_inv)
-            S = -jnp.einsum("alik,bljk->abij", W2, Wc)
-            Hpp_d = Hpp + damping * jnp.eye(6)[None]
-            S = S.at[jnp.arange(Pn), jnp.arange(Pn)].add(Hpp_d)
-            b_red = bp - jnp.einsum("plij,lj->pi", W2, bl)
-
-            free = (pose_valid & ~pose_fixed)[:, None].repeat(6, 1).reshape(-1) & (
-                dof_mask.reshape(-1) > 0.5
-            )
-            S_flat = S.transpose(0, 2, 1, 3).reshape(6 * Pn, 6 * Pn)
-            S_flat = jnp.where(free[:, None] & free[None, :], S_flat, 0.0)
-            S_flat = S_flat + jnp.diag(jnp.where(free, 0.0, 1.0) + 1e-9)
-            b_flat = jnp.where(free, b_red.reshape(-1), 0.0)
-            dx_p = -jnp.linalg.solve(S_flat, b_flat).reshape(Pn, 6) * dof_mask
-
-            rhs = bl + jnp.einsum("plij,pi->lj", Wc, dx_p)
-            dx_l = -jnp.einsum("lij,lj->li", Hll_inv, rhs)
-
-            poses_new = jax.vmap(se3.se3_retract)(poses, dx_p)
-            poses_new = jnp.where(
-                (pose_fixed | ~pose_valid)[:, None, None], poses, poses_new
-            )
-            points_new = jnp.where(point_valid[:, None], points + dx_l, points)
-            return poses_new, points_new
-
-        return jax.lax.fori_loop(0, n_iters, gn_iter, (poses, points))
-
-    return solve(
-        prob.poses, prob.pose_fixed, prob.pose_valid, prob.dof_mask,
-        prob.points, prob.point_valid,
-        prob.e_pose, prob.e_point, prob.e_obs, prob.e_stereo,
-        prob.e_inv_sigma2, prob.e_valid,
-    )
+    return solve(prob)

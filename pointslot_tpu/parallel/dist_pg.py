@@ -66,7 +66,11 @@ def distributed_pose_graph(
             diag = diag.at[e_i].add(jnp.einsum("eij,eij,e->ej", Ji, Ji, w))
             diag = diag.at[e_j].add(jnp.einsum("eij,eij,e->ej", Jj, Jj, w))
             diag = psum_all(diag)
-            precond = 1.0 / jnp.maximum(diag + damping, 1e-9)
+            # diag-scaled damping (matches the dense engine,
+            # solvers/posegraph.py) — absolute damping under-regularizes
+            # weakly-constrained poses and lets CG blow up
+            lam = damping * jnp.maximum(diag, 1.0)
+            precond = 1.0 / jnp.maximum(diag + lam, 1e-9)
 
             def matvec(x):
                 xi = x[e_i]
@@ -79,7 +83,7 @@ def distributed_pose_graph(
                 y = y.at[e_i].add(jnp.einsum("eij,ei->ej", Ji, Jx))
                 y = y.at[e_j].add(jnp.einsum("eij,ei->ej", Jj, Jx))
                 y = psum_all(y)
-                return (y + damping * x) * free
+                return (y + lam * x) * free
 
             # preconditioned CG for H dx = -b
             bneg = -b
@@ -103,6 +107,12 @@ def distributed_pose_graph(
             dx, _, _, _ = jax.lax.fori_loop(
                 0, n_cg_iters, cg_body, (x0, r0, z0, z0)
             )
+            # trust region: an unconverged CG direction on an ill-conditioned
+            # graph can be huge; cap the per-pose step (GN re-iterates) and
+            # drop non-finite directions entirely
+            nrm = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+            dx = dx * jnp.minimum(1.0, 5.0 / jnp.maximum(nrm, 1e-12))
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
             new_poses = jax.vmap(se3.se3_retract)(poses, dx)
             return jnp.where((fixed | ~valid)[:, None, None], poses, new_poses)

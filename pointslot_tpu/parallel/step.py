@@ -81,10 +81,10 @@ class DistributedSlotStep:
         )(obj_T_init, obj_edges)
 
         # ---- phase 3: distributed Schur BA over dp x ep --------------
-        ba_poses, ba_points = distributed_bundle_adjust(
-            ba_prob, mesh, **cam, n_iters=3
+        ba_res = distributed_bundle_adjust(
+            ba_prob, mesh, **cam, stage_iters=(3,), use_huber_stages=(False,)
         )
-        return frames, obj, (ba_poses, ba_points)
+        return frames, obj, (ba_res.poses, ba_res.points)
 
     def __call__(self, lefts, rights, obj_T_init, obj_edges, ba_prob):
         return self._step(lefts, rights, obj_T_init, obj_edges, ba_prob)
@@ -129,7 +129,9 @@ def make_example_inputs(mesh, height, width, n_frames=None, n_objects=None,
     )
     obj_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (O, 1, 1))
 
-    # BA problem: P_cap poses, L_cap points, E_cap edges (padded)
+    # BA problem: P_cap poses, L_cap points (flat edges packed point-major)
+    from pointslot_tpu.solvers.local_ba import build_problem
+
     poses = np.tile(np.eye(4, dtype=np.float32), (P_cap, 1, 1))
     for i in range(P_cap):
         poses[i, 2, 3] = -0.5 * i
@@ -147,18 +149,12 @@ def make_example_inputs(mesh, height, width, n_frames=None, n_objects=None,
         [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy,
          fx * pc[:, 0] / z + cx - bf / z], axis=1
     ).astype(np.float32)
-    ba_prob = BAProblem(
-        poses=jnp.asarray(poses),
-        pose_fixed=jnp.asarray(np.arange(P_cap) == 0),
-        pose_valid=jnp.ones(P_cap, bool),
-        dof_mask=jnp.ones((P_cap, 6), jnp.float32),
-        points=jnp.asarray(points),
-        point_valid=jnp.ones(L_cap, bool),
-        e_pose=jnp.asarray(e_pose),
-        e_point=jnp.asarray(e_point),
-        e_obs=jnp.asarray(e_obs),
-        e_stereo=jnp.ones(E_cap, bool),
-        e_inv_sigma2=jnp.ones(E_cap, jnp.float32),
-        e_valid=jnp.asarray(z > 0.5),
+    sel = z > 0.5
+    ba_prob, _ = build_problem(
+        poses=poses, pose_fixed=np.arange(P_cap) == 0, points=points,
+        e_pose=e_pose[sel], e_point=e_point[sel], e_obs=e_obs[sel],
+        e_stereo=np.ones(sel.sum(), bool),
+        e_inv_sigma2=np.ones(sel.sum(), np.float32),
+        P_cap=P_cap, L_cap=L_cap, K=max(8, E_cap // L_cap * 2),
     )
     return lefts, rights, obj_T, obj_edges, ba_prob

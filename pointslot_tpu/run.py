@@ -26,7 +26,8 @@ def main(argv=None):
     ap.add_argument("--data", help="KITTI tracking sequence root")
     ap.add_argument("--sequence", default="0000")
     ap.add_argument("--config", help="reference-schema YAML config")
-    ap.add_argument("--mode", type=int, default=None, help="SLOT mode 0-4")
+    ap.add_argument("--mode", type=int, default=None, choices=range(5),
+                    help="SLOT mode 0-4")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of a dataset")
     ap.add_argument("--synthetic-objects", type=int, default=2)

@@ -185,7 +185,12 @@ class LocalMapper:
             ratio = m.pt_found[rp.pt] / max(m.pt_visible[rp.pt], 1)
             if ratio < 0.25:
                 to_cull.append(rp.pt)
-            elif age >= 2 and obs_count[rp.pt] <= 2:
+            elif age >= 2 and obs_count[rp.pt] <= 1:
+                # the reference culls stereo points with <= 3 observations
+                # here (src/LocalMapping.cc:352); with per-frame feature
+                # redetection churn our re-observation rate is lower, and
+                # the 2-observation points carry the map's only multi-view
+                # constraints — keep them (duplicates are handled by fuse)
                 to_cull.append(rp.pt)
             elif age >= 3:
                 continue  # graduates out of the probation window
@@ -236,6 +241,7 @@ class LocalMapper:
             jnp.asarray(padM(pred_level.astype(np.int32))),
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             th_desc=matchers.TH_LOW,
+            level_window=jnp.int32(2),
             **self._cam_args,
         )
         pf = np.asarray(res.point_for_feature)
@@ -250,7 +256,6 @@ class LocalMapper:
         ba_cfg = self.cfg.ba
         P_cap = ba_cfg.max_ba_keyframes
         L_cap = ba_cfg.max_ba_points
-        E_cap = L_cap * 4
 
         window = [kf] + list(m.covisible_keyframes(kf, min_weight=15,
                                                    max_n=P_cap // 2 - 1))
@@ -289,32 +294,26 @@ class LocalMapper:
             )
             e_stereo.append(m.kf_depth[k, bound] > 0)
             e_inv2.append(1.0 / self._scales[m.kf_level[k, bound]] ** 2)
-        e_pose = np.concatenate(e_pose)[:E_cap]
-        e_point = np.concatenate(e_point)[:E_cap]
-        e_obs = np.concatenate(e_obs)[:E_cap]
-        e_stereo = np.concatenate(e_stereo)[:E_cap]
-        e_inv2 = np.concatenate(e_inv2)[:E_cap]
+        e_pose = np.concatenate(e_pose)
+        e_point = np.concatenate(e_point)
+        e_obs = np.concatenate(e_obs)
+        e_stereo = np.concatenate(e_stereo)
+        e_inv2 = np.concatenate(e_inv2)
         E = len(e_pose)
 
-        def pad(a, cap, fill=0):
-            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
-            out[: len(a)] = a
-            return out
-
-        prob = local_ba.BAProblem(
-            poses=jnp.asarray(pad(m.kf_pose[kf_list], P_cap), jnp.float32),
-            pose_fixed=jnp.asarray(pad(np.asarray(n_fixed_flags), P_cap, True)),
-            pose_valid=jnp.asarray(pad(np.ones(len(kf_list), bool), P_cap, False)),
-            dof_mask=jnp.ones((P_cap, 6), jnp.float32),
-            points=jnp.asarray(pad(m.pt_pos[pts].astype(np.float32), L_cap)),
-            point_valid=jnp.asarray(pad(np.ones(len(pts), bool), L_cap, False)),
-            e_pose=jnp.asarray(pad(e_pose.astype(np.int32), E_cap)),
-            e_point=jnp.asarray(pad(e_point.astype(np.int32), E_cap)),
-            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E_cap)),
-            e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
-            e_inv_sigma2=jnp.asarray(pad(e_inv2.astype(np.float32), E_cap)),
-            e_valid=jnp.asarray(pad(np.ones(E, bool), E_cap, False)),
+        prob, slot_edge = local_ba.build_problem(
+            poses=m.kf_pose[kf_list].astype(np.float32),
+            pose_fixed=np.asarray(n_fixed_flags),
+            points=m.pt_pos[pts].astype(np.float32),
+            e_pose=e_pose, e_point=e_point, e_obs=e_obs, e_stereo=e_stereo,
+            e_inv_sigma2=e_inv2,
+            P_cap=P_cap, L_cap=L_cap, K=ba_cfg.max_obs_per_point,
         )
+        kept = int((slot_edge >= 0).sum())
+        if kept < E:
+            from pointslot_tpu.utils.profiling import PROFILER
+
+            PROFILER.count("local_ba_obs_dropped", E - kept)
         result = local_ba.bundle_adjust(prob, **self._cam_args)
         self.ba_calls += 1
 
@@ -326,8 +325,8 @@ class LocalMapper:
         m.pt_pos[pts] = np.asarray(result.points)[: len(pts)].astype(np.float64)
 
         # drop outlier observations
-        inl = np.asarray(result.edge_inlier)[:E]
-        bad = np.nonzero(~inl)[0]
+        inl = np.asarray(result.obs_inlier)
+        bad = slot_edge[(slot_edge >= 0) & ~inl]
         for b in bad:
             k = kf_list[int(e_pose[b])]
             p = pts[int(e_point[b])]

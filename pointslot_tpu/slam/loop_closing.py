@@ -5,13 +5,18 @@ src/KeyFrameDatabase.cc: BoW inverted index, DetectLoopCandidates,
 DetectRelocalizationCandidates) and the LoopClosing thread
 (reference src/LoopClosing.cc: DetectLoop :106 with 3-consistent
 covisibility groups, ComputeSim3 :234 RANSAC + refine, CorrectLoop :405
-pose propagation + SearchAndFuse + OptimizeEssentialGraph; stereo fixes
-scale, so the Sim3 degenerates to SE(3)).
+pose propagation + SearchAndFuse + OptimizeEssentialGraph, then global BA
+in a detached thread :648; stereo fixes scale, so the Sim3 degenerates to
+SE(3)).
 
 TPU design: the database is a dense (K, W) tf-idf matrix — a whole-database
 similarity query is one matvec; geometric verification is the vmapped
-3-point Horn RANSAC on stereo-unprojected 3D-3D matches; the essential
-graph is solvers/posegraph.py's batched GN.
+3-point Horn RANSAC on stereo-unprojected 3D-3D matches followed by
+inlier-weighted IRLS refinement (the OptimizeSim3 analog); the essential
+graph is solvers/posegraph.py's batched GN — or the matrix-free
+distributed CG engine when a multi-device mesh is attached; global BA is
+the explicit-Schur engine over ALL keyframes — point-sharded over the mesh
+when one is attached (parallel/dist_ba.py).
 """
 
 from __future__ import annotations
@@ -27,7 +32,15 @@ from pointslot_tpu.geometry import pnp
 from pointslot_tpu.slam import matchers
 from pointslot_tpu.slam.map_state import MapState
 from pointslot_tpu.solvers import posegraph
+from pointslot_tpu.utils.profiling import PROFILER
 from pointslot_tpu.vocab.bow import BinaryVocabulary
+
+
+def _next_pow2(n: int, lo: int, hi: int) -> int:
+    p = lo
+    while p < min(n, hi):
+        p *= 2
+    return p
 
 
 class KeyFrameDatabase:
@@ -74,10 +87,12 @@ class LoopCloser:
         """Add to database; attempt detection + correction. Returns True if
         a loop was closed."""
         m = self.map
+        lc = self.cfg.loop
         vec = self.db.add(kf, m.kf_desc[kf], m.kf_feat_valid[kf])
-        if not self.cfg.loop.enabled:
+        if not lc.enabled:
             return False
-        if m.n_keyframes() < 10 or kf - self.last_loop_kf < 10:
+        if (m.n_keyframes() < lc.min_kfs_before_detect
+                or kf - self.last_loop_kf < lc.cooldown_kfs):
             return False
 
         candidate = self._detect_loop(kf, vec)
@@ -94,6 +109,7 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _detect_loop(self, kf: int, vec: np.ndarray) -> Optional[int]:
         m = self.map
+        lc = self.cfg.loop
         neighbors = m.covisible_keyframes(kf, min_weight=15)
         if len(neighbors) == 0:
             return None
@@ -107,7 +123,8 @@ class LoopCloser:
         # drop candidates too recent in time (KITTI: avoid adjacent frames)
         candidates = [
             c for c in candidates
-            if abs(int(m.kf_frame_id[c]) - int(m.kf_frame_id[kf])) > 20
+            if abs(int(m.kf_frame_id[c]) - int(m.kf_frame_id[kf]))
+            > lc.min_frame_distance
         ]
         if not candidates:
             self._consistent_groups = []
@@ -124,7 +141,7 @@ class LoopCloser:
         # sequential neighbors)
         by_time = sorted(m.keyframe_ids(), key=lambda k: m.kf_frame_id[k])
         pos = {int(k): i for i, k in enumerate(by_time)}
-        for c in candidates[:5]:
+        for c in candidates[: lc.max_candidates]:
             group = set(int(x) for x in m.covisible_keyframes(c, min_weight=5))
             group.add(int(c))
             i = pos.get(int(c))
@@ -137,15 +154,17 @@ class LoopCloser:
                 if group & prev_group:
                     count = max(count, prev_count + 1)
             new_groups.append((group, count))
-            if count + 1 >= self.cfg.loop.covisibility_consistency_th and confirmed is None:
+            if count + 1 >= lc.covisibility_consistency_th and confirmed is None:
                 confirmed = int(c)
         self._consistent_groups = new_groups
         return confirmed
 
     # ------------------------------------------------------------------
     def _geometric_verification(self, kf: int, cand: int):
-        """Brute descriptor match + stereo-unprojected 3D-3D RANSAC.
-        Returns (ok, T_lc) with X_cand = T_lc @ X_cur (camera frames)."""
+        """Brute descriptor match + stereo-unprojected 3D-3D RANSAC,
+        followed by inlier-weighted IRLS refinement (the reference's
+        OptimizeSim3 role, src/Optimizer.cc:1684). Returns (ok, T_lc) with
+        X_cand = T_lc @ X_cur (camera frames)."""
         m = self.map
         res = matchers.brute_match(
             jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_angle[kf]),
@@ -184,12 +203,20 @@ class LoopCloser:
         )
         if not bool(result.ok):
             return False, None
-        return True, np.asarray(result.T, np.float64)
+        # IRLS refinement on the inlier set
+        T_ref = pnp.rigid_refine(
+            jnp.asarray(pad_src), jnp.asarray(pad_dst), result.inliers,
+            result.T, huber_delta=0.15,
+            n_iters=self.cfg.loop.refine_transform_iters,
+            with_scale=not self.cfg.loop.fix_scale,
+        )
+        return True, np.asarray(T_ref, np.float64)
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, cand: int, T_lc: np.ndarray):
         """Essential-graph optimization with the loop constraint; map points
-        move with their reference keyframes."""
+        move with their reference keyframes; duplicate structure across the
+        loop is merged before global BA."""
         m = self.map
         kf_ids = m.keyframe_ids()
         K = len(kf_ids)
@@ -219,19 +246,8 @@ class LoopCloser:
         meas.append(np.linalg.inv(T_lc))
         weight.append(20.0)
 
-        prob = posegraph.PoseGraphProblem(
-            poses=jnp.asarray(old_poses, jnp.float32),
-            fixed=jnp.asarray(kf_ids == cand),
-            valid=jnp.ones(K, bool),
-            e_i=jnp.asarray(e_i, jnp.int32),
-            e_j=jnp.asarray(e_j, jnp.int32),
-            e_meas=jnp.asarray(np.stack(meas), jnp.float32),
-            e_weight=jnp.asarray(weight, jnp.float32),
-            e_valid=jnp.ones(len(e_i), bool),
-        )
-        new_poses = np.asarray(
-            posegraph.optimize_pose_graph(prob, n_iters=self.cfg.loop.pose_graph_cg_iters // 5),
-            np.float64,
+        new_poses = self._optimize_essential_graph(
+            old_poses, kf_ids == cand, e_i, e_j, meas, weight
         )
 
         # move map points with their reference keyframe's correction
@@ -255,6 +271,11 @@ class LoopCloser:
             T_wc_new = np.linalg.inv(T_new)
             m.pt_pos[p] = T_wc_new[:3, :3] @ Xc + T_wc_new[:3, 3]
 
+        # merge duplicate structure across the loop (SearchAndFuse analog,
+        # reference src/LoopClosing.cc:590) so global BA ties the loop
+        # together instead of keeping two copies of the revisited scene
+        self._search_and_fuse(kf, cand)
+
         if self.cfg.loop.run_global_ba:
             self._global_ba(cand)
 
@@ -262,33 +283,144 @@ class LoopCloser:
             self.on_loop_closed(corrections)
 
     # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, old_poses, fixed_mask,
+                                  e_i, e_j, meas, weight) -> np.ndarray:
+        """Dense GN pose graph on one device; matrix-free distributed CG
+        (parallel/dist_pg.py) over the mesh when one is attached."""
+        from pointslot_tpu.parallel.runtime import default_mesh
+
+        K = len(old_poses)
+        E = len(e_i)
+        mesh = default_mesh()
+        n_iters = self.cfg.loop.pose_graph_cg_iters // 5
+
+        if mesh is not None:
+            n_dev = mesh.size
+            E_pad = -(-E // n_dev) * n_dev
+        else:
+            E_pad = E
+
+        def pad(a, fill=0):
+            a = np.asarray(a)
+            out = np.full((E_pad,) + a.shape[1:], fill, a.dtype)
+            out[:E] = a
+            return out
+
+        prob = posegraph.PoseGraphProblem(
+            poses=jnp.asarray(old_poses, jnp.float32),
+            fixed=jnp.asarray(fixed_mask),
+            valid=jnp.ones(K, bool),
+            e_i=jnp.asarray(pad(np.asarray(e_i, np.int32))),
+            e_j=jnp.asarray(pad(np.asarray(e_j, np.int32))),
+            e_meas=jnp.asarray(pad(np.stack(meas).astype(np.float32),
+                                   np.eye(4, dtype=np.float32))),
+            e_weight=jnp.asarray(pad(np.asarray(weight, np.float32))),
+            e_valid=jnp.asarray(np.arange(E_pad) < E),
+        )
+        if mesh is not None:
+            from pointslot_tpu.parallel.dist_pg import distributed_pose_graph
+
+            PROFILER.count("essential_graph_distributed")
+            out = distributed_pose_graph(prob, mesh, n_gn_iters=n_iters,
+                                         n_cg_iters=32)
+        else:
+            out = posegraph.optimize_pose_graph(prob, n_iters=n_iters)
+        return np.asarray(out, np.float64)
+
+    # ------------------------------------------------------------------
+    def _search_and_fuse(self, kf: int, cand: int):
+        """Project the loop side's map points into the current side's
+        keyframes (at their corrected poses) and merge matches: features
+        bound to a different point have that point replaced by the loop
+        point; unbound features gain a binding."""
+        m = self.map
+        cam = self.cfg.camera
+        loop_kfs = [cand] + [int(c) for c in m.covisible_keyframes(cand, min_weight=15)]
+        cur_kfs = [kf] + [int(c) for c in m.covisible_keyframes(kf, min_weight=15)]
+        loop_pts = m.points_of_keyframes(loop_kfs)
+        if len(loop_pts) == 0:
+            return
+        scales = np.asarray(
+            [self.cfg.orb.scale_factor ** i for i in range(self.cfg.orb.n_levels)],
+            np.float32,
+        )
+        M = len(loop_pts)
+        M_pad = _next_pow2(M, 256, 1 << 30)
+
+        def padM(a, fill=0):
+            out = np.full((M_pad,) + a.shape[1:], fill, a.dtype)
+            out[:M] = a[:M_pad]
+            return out
+
+        merged = 0
+        for k in cur_kfs:
+            # per-point predicted octave from viewing distance (the same
+            # scale prediction tracking and neighbor-fuse use; a zero
+            # pred_level would level-gate away every high-octave feature)
+            T = m.kf_pose[k]
+            cam_center = -T[:3, :3].T @ T[:3, 3]
+            dists = np.linalg.norm(m.pt_pos[loop_pts] - cam_center, axis=1)
+            pred_level = m.predict_scale(dists, loop_pts)
+            res = matchers.project_and_match(
+                jnp.asarray(padM(m.pt_pos[loop_pts].astype(np.float32))),
+                jnp.asarray(padM(m.pt_desc[loop_pts])),
+                jnp.asarray(padM(m.pt_valid[loop_pts], False)),
+                jnp.asarray(m.kf_pose[k], jnp.float32),
+                jnp.asarray(m.kf_xy[k]), jnp.asarray(m.kf_level[k]),
+                jnp.asarray(m.kf_desc[k]),
+                jnp.asarray(m.kf_feat_valid[k]),
+                jnp.full((M_pad,), 8.0, jnp.float32),
+                jnp.asarray(scales),
+                jnp.asarray(padM(pred_level.astype(np.int32))),
+                width=cam.width, height=cam.height,
+                th_desc=matchers.TH_LOW,
+                level_window=jnp.int32(2),
+                fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+                cy=float(cam.cy), bf=float(cam.bf),
+            )
+            pf = np.asarray(res.point_for_feature)
+            feats = np.nonzero(pf >= 0)[0]
+            for f in feats:
+                dst = int(loop_pts[pf[f]])
+                cur = int(m.kf_point_idx[k, f])
+                if cur < 0:
+                    m.bind(k, np.asarray([f]), np.asarray([dst]))
+                elif cur != dst:
+                    m.replace_point(cur, dst)
+                    merged += 1
+        PROFILER.count("loop_points_merged", merged)
+
+    # ------------------------------------------------------------------
     def _global_ba(self, fixed_kf: int):
         """Full-map bundle adjustment after loop correction (the reference
         runs this in a detached thread, LoopClosing::RunGlobalBundleAdjustment
-        src/LoopClosing.cc:648-752; here it reuses the Schur engine at full
-        capacity, bounded by the configured caps)."""
-        import jax.numpy as jnp
-
+        src/LoopClosing.cc:648-752). ALL keyframes participate; structure is
+        capped at loop.gba_max_points well-observed points (the rest are
+        corrected afterwards by their reference keyframe's pose delta, the
+        same propagation the reference applies to points created during
+        GBA). Point-sharded over the device mesh when one is attached."""
         from pointslot_tpu.solvers import local_ba
 
         m = self.map
         cam = self.cfg.camera
+        lc = self.cfg.loop
         kf_ids = list(m.keyframe_ids())
-
-        def next_pow2(n, lo, hi):
-            p = lo
-            while p < min(n, hi):
-                p *= 2
-            return p
-
-        # size the (rarely-run) solve to the actual map, in power-of-two
-        # buckets so recompiles stay bounded
-        P_cap = next_pow2(len(kf_ids), 16, 64)
-        L_cap = next_pow2(m.n_points(), 1024, 16384)
-        E_cap = L_cap * 4
-        kf_ids = kf_ids[:P_cap]
+        P_cap = _next_pow2(len(kf_ids), 16, m.max_kfs)
         kf_row = {int(k): i for i, k in enumerate(kf_ids)}
-        pts = m.points_of_keyframes(kf_ids)[:L_cap]
+
+        # structure selection: prefer well-observed points
+        pts_all = np.nonzero(m.pt_valid)[0]
+        if len(pts_all) == 0:
+            return
+        obs_count = m.point_obs_count()[pts_all]
+        if len(pts_all) > lc.gba_max_points:
+            keep = np.argsort(-obs_count)[: lc.gba_max_points]
+            PROFILER.count("gba_points_propagated_only",
+                           len(pts_all) - lc.gba_max_points)
+            pts = np.sort(pts_all[keep])
+        else:
+            pts = pts_all
+        L_cap = _next_pow2(len(pts), 1024, 1 << 30)
         pt_row = np.full(m.max_points, -1, np.int64)
         pt_row[pts] = np.arange(len(pts))
         scales = np.asarray(
@@ -309,59 +441,75 @@ class LoopCloser:
                  m.kf_uright[k, bound]], axis=1))
             e_stereo.append(m.kf_depth[k, bound] > 0)
             e_inv2.append(1.0 / scales[m.kf_level[k, bound]] ** 2)
-        e_pose = np.concatenate(e_pose)[:E_cap]
-        e_point = np.concatenate(e_point)[:E_cap]
-        e_obs = np.concatenate(e_obs)[:E_cap]
-        e_stereo = np.concatenate(e_stereo)[:E_cap]
-        e_inv2 = np.concatenate(e_inv2)[:E_cap]
-        E = len(e_pose)
-        if E < 100:
+        e_pose = np.concatenate(e_pose)
+        e_point = np.concatenate(e_point)
+        e_obs = np.concatenate(e_obs)
+        e_stereo = np.concatenate(e_stereo)
+        e_inv2 = np.concatenate(e_inv2)
+        if len(e_pose) < 100:
             return
-
-        def pad(a, cap, fill=0):
-            out = np.full((cap,) + np.asarray(a).shape[1:], fill,
-                          np.asarray(a).dtype)
-            out[: len(a)] = np.asarray(a)[:cap]
-            return out
 
         fixed_flags = [int(k) == int(fixed_kf) for k in kf_ids]
         if not any(fixed_flags):
             fixed_flags[0] = True
-        prob = local_ba.BAProblem(
-            poses=jnp.asarray(pad(m.kf_pose[kf_ids], P_cap), jnp.float32),
-            pose_fixed=jnp.asarray(pad(np.asarray(fixed_flags), P_cap, True)),
-            pose_valid=jnp.asarray(pad(np.ones(len(kf_ids), bool), P_cap, False)),
-            dof_mask=jnp.ones((P_cap, 6), jnp.float32),
-            points=jnp.asarray(pad(m.pt_pos[pts].astype(np.float32), L_cap)),
-            point_valid=jnp.asarray(pad(np.ones(len(pts), bool), L_cap, False)),
-            e_pose=jnp.asarray(pad(e_pose.astype(np.int32), E_cap)),
-            e_point=jnp.asarray(pad(e_point.astype(np.int32), E_cap)),
-            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E_cap)),
-            e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
-            e_inv_sigma2=jnp.asarray(pad(e_inv2.astype(np.float32), E_cap)),
-            e_valid=jnp.asarray(pad(np.ones(E, bool), E_cap, False)),
+        old_kf_poses = m.kf_pose[kf_ids].astype(np.float64).copy()
+
+        prob, slot_edge = local_ba.build_problem(
+            poses=m.kf_pose[kf_ids].astype(np.float32),
+            pose_fixed=np.asarray(fixed_flags),
+            points=m.pt_pos[pts].astype(np.float32),
+            e_pose=e_pose, e_point=e_point, e_obs=e_obs, e_stereo=e_stereo,
+            e_inv_sigma2=e_inv2,
+            P_cap=P_cap, L_cap=L_cap, K=lc.gba_obs_per_point,
         )
         # pre-gate: drop grossly-inconsistent observations (wrong
         # associations made while the map was drifted) at the corrected
         # state BEFORE optimizing, so the robust stage starts clean
         cam_args = dict(fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
                         cy=float(cam.cy), bf=float(cam.bf))
-        res0, _, _, behind0 = local_ba._edge_residuals(
+        res0, behind0 = local_ba._residuals_only(
             prob.poses, prob.points, prob, **cam_args)
-        chi2_0 = local_ba._edge_chi2(res0, prob.e_stereo, prob.e_inv_sigma2)
-        gate0 = jnp.where(prob.e_stereo, local_ba.CHI2_STEREO,
+        chi2_0 = local_ba._chi2(res0, prob.obs_stereo, prob.obs_inv_sigma2)
+        gate0 = jnp.where(prob.obs_stereo, local_ba.CHI2_STEREO,
                           local_ba.CHI2_MONO) * 10.0
         prob = prob._replace(
-            e_valid=prob.e_valid & (chi2_0 <= gate0) & ~behind0)
-        result = local_ba.bundle_adjust(
-            prob, **cam_args, stage_iters=(5, 10),
-            use_huber_stages=(True, False),
-        )
-        new_poses = np.asarray(result.poses)
+            obs_valid=prob.obs_valid & (chi2_0 <= gate0) & ~behind0)
+
+        from pointslot_tpu.parallel.runtime import default_mesh
+
+        mesh = default_mesh()
+        if mesh is not None and L_cap % mesh.size == 0:
+            from pointslot_tpu.parallel.dist_ba import distributed_bundle_adjust
+
+            PROFILER.count("gba_distributed")
+            result = distributed_bundle_adjust(prob, mesh, **cam_args)
+        else:
+            result = local_ba.bundle_adjust(prob, **cam_args)
+
+        new_poses = np.asarray(result.poses, np.float64)
         for i, k in enumerate(kf_ids):
             if not fixed_flags[i]:
-                m.kf_pose[int(k)] = new_poses[i]
+                m.kf_pose[int(k)] = new_poses[i].astype(np.float32)
         m.pt_pos[pts] = np.asarray(result.points, np.float64)[: len(pts)]
+
+        # propagate the GBA pose deltas to points that were not in the solve
+        rest = pts_all[pt_row[pts_all] < 0]
+        for p in rest:
+            ref = int(m.pt_first_kf[p])
+            if ref not in kf_row:
+                obs_kfs = np.nonzero(m.obs[p])[0]
+                if len(obs_kfs) == 0:
+                    continue
+                ref = int(obs_kfs[0])
+                if ref not in kf_row:
+                    continue
+            i = kf_row[ref]
+            T_old = old_kf_poses[i]
+            T_new = new_poses[i] if not fixed_flags[i] else T_old
+            X = m.pt_pos[p]
+            Xc = T_old[:3, :3] @ X + T_old[:3, 3]
+            T_wc_new = np.linalg.inv(T_new)
+            m.pt_pos[p] = T_wc_new[:3, :3] @ Xc + T_wc_new[:3, 3]
 
 
 class Relocalizer:
@@ -376,8 +524,11 @@ class Relocalizer:
 
     def relocalize(self, frame) -> bool:
         m = self.map
+        lc = self.cfg.loop
         vec, _ = self.db.vocab.transform(frame.desc, frame.valid)
-        candidates = self.db.query(np.asarray(vec), set(), min_score=0.015)[:5]
+        candidates = self.db.query(
+            np.asarray(vec), set(), min_score=lc.reloc_min_score
+        )[: lc.reloc_max_candidates]
         cam = self.cfg.camera
         for cand in candidates:
             res = matchers.brute_match(

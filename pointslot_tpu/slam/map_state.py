@@ -139,6 +139,25 @@ class MapState:
             self.kf_point_idx[k, sel] = -1
         self.obs[pt_idx, :] = False
 
+    def replace_point(self, src: int, dst: int):
+        """Merge point src into dst (MapPoint::Replace analog, reference
+        src/MapPoint.cc): every observation of src rebinds onto dst except
+        in keyframes where dst is already observed, then src is dropped.
+        Used by loop-closing fuse to collapse duplicate structure."""
+        if src == dst or not self.pt_valid[src] or not self.pt_valid[dst]:
+            return
+        for k in np.nonzero(self.obs[src])[0]:
+            feats = np.nonzero(self.kf_point_idx[k] == src)[0]
+            if self.obs[dst, k]:
+                self.kf_point_idx[k, feats] = -1
+            else:
+                self.kf_point_idx[k, feats] = dst
+                self.obs[dst, k] = True
+        self.pt_found[dst] += self.pt_found[src]
+        self.pt_visible[dst] += self.pt_visible[src]
+        self.obs[src, :] = False
+        self.pt_valid[src] = False
+
     def remove_keyframe(self, kf: int):
         if getattr(self, "on_remove_keyframe", None):
             self.on_remove_keyframe(kf)

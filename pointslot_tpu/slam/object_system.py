@@ -66,11 +66,21 @@ class ObjectFrameFeatures:
 
 class ObjectSystem:
     def __init__(self, config: SystemConfig, system):
+        import threading
+
         self.cfg = config
         self.system = system
         self.tracks: Dict[int, ObjectTrack] = {}
         self.all_tracks: List[ObjectTrack] = []
         self.finished_tracks: List[ObjectTrack] = []
+        # object-map concurrency (the reference's ObjectLocalMapping thread
+        # owns its queue + per-object gate, src/ObjectLocalMapping.cpp:32-55):
+        # track tables are guarded by _obj_lock; the expensive BA solve runs
+        # OUTSIDE the lock on the mapping worker so tracking never stalls on
+        # an object-KF spawn
+        self._obj_lock = threading.RLock()
+        self._pending_okfs: Dict[int, int] = {}
+        self.ba_threads: set = set()  # thread idents that ran an object BA
         cam = config.camera
         self._cam_args = dict(
             fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx), cy=float(cam.cy),
@@ -139,23 +149,24 @@ class ObjectSystem:
         feats = self._extract_object_features(left, right, instance_mask, dets)
         T_cw = frame.T_cw.astype(np.float64)
 
-        to_init, to_track = [], []
-        for di, det in enumerate(dets):
-            fsel = np.nonzero(feats.det_index == di)[0]
-            track = self.tracks.get(det.track_id)
-            if track is None or track.n_points() == 0:
-                to_init.append((det, fsel))
-            else:
-                to_track.append((det, fsel, track))
+        with self._obj_lock:
+            to_init, to_track = [], []
+            for di, det in enumerate(dets):
+                fsel = np.nonzero(feats.det_index == di)[0]
+                track = self.tracks.get(det.track_id)
+                if track is None or track.n_points() == 0:
+                    to_init.append((det, fsel))
+                else:
+                    to_track.append((det, fsel, track))
 
-        failed = self._track_objects_batched(to_track, feats, T_cw, timestamp)
-        for det, fsel, track in failed:
-            missing_t = timestamp - track.last_seen_time
-            if missing_t > self.cfg.objects.max_missing_dt:
-                # re-init the object from scratch (MapObjectReInit)
-                self._reinit(track, det, feats, fsel, T_cw, timestamp)
-        for det, fsel in to_init:
-            self._try_init(det, feats, fsel, T_cw, timestamp)
+            failed = self._track_objects_batched(to_track, feats, T_cw, timestamp)
+            for det, fsel, track in failed:
+                missing_t = timestamp - track.last_seen_time
+                if missing_t > self.cfg.objects.max_missing_dt:
+                    # re-init the object from scratch (MapObjectReInit)
+                    self._reinit(track, det, feats, fsel, T_cw, timestamp)
+            for det, fsel in to_init:
+                self._try_init(det, feats, fsel, T_cw, timestamp)
 
     # ------------------------------------------------------------------
     def _extract_object_features(self, left, right, instance_mask, dets):
@@ -259,6 +270,7 @@ class ObjectSystem:
         self._record_state(track, det, T_co, T_cw, timestamp)
 
     def _reinit(self, track, det, feats, fsel, T_cw, timestamp):
+        track.epoch += 1
         track.pt_valid[:] = False
         track.obs[:, :] = False
         track.keyframes.clear()
@@ -315,8 +327,36 @@ class ObjectSystem:
                 okf.point_idx[new_sel] = rows
                 track.obs[rows, okf_idx] = True
         track.keyframes.append(okf)
-        self._object_local_mapping(track, det)
+        self._schedule_object_mapping(track, det)
         return okf
+
+    def _schedule_object_mapping(self, track: ObjectTrack, det: Detection):
+        """Hand the new object keyframe to the mapping worker when the
+        async pipeline is on (reference ObjectLocalMapping::
+        InsertOneObjKeyFrame, src/ObjectLocalMapping.cpp:55); inline
+        otherwise."""
+        sys_ = self.system
+        if sys_ is not None and getattr(sys_, "_mapping_thread", None) is not None:
+            self._pending_okfs[track.track_id] = (
+                self._pending_okfs.get(track.track_id, 0) + 1
+            )
+            sys_._mapping_queue.put(("object", track.track_id, det))
+        else:
+            self._object_local_mapping(track, det)
+
+    def process_object_task(self, track_id: int, det: Detection):
+        """Mapping-worker entry. Same-object queue gate: while another
+        keyframe of THIS object is still queued, defer fuse/cull/BA to the
+        newest one (reference ObjectLocalMapping::CheckTheSameObject,
+        src/ObjectLocalMapping.cpp:32-47, gate at :370)."""
+        with self._obj_lock:
+            self._pending_okfs[track_id] = self._pending_okfs.get(track_id, 1) - 1
+            if self._pending_okfs.get(track_id, 0) > 0:
+                return
+            track = self.tracks.get(track_id)
+            if track is None or not track.keyframes:
+                return
+        self._object_local_mapping(track, det)
 
     def _unproject_local(self, okf, sel):
         cam = self.cfg.camera
@@ -575,13 +615,28 @@ class ObjectSystem:
     # ------------------------------------------------------------------
     def _object_local_mapping(self, track: ObjectTrack, det: Detection):
         """Culling + neighbor fuse + windowed object BA
-        (ObjectLocalMapping thread analog)."""
-        okf_idx = len(track.keyframes) - 1
-        self._cull_object_points(track, okf_idx)
-        self._fuse_object_neighbors(track, okf_idx)
-        n_cov = len(track.covisible_keyframes(okf_idx, min_weight=5))
-        if n_cov > self.cfg.objects.ba_min_covisible_kfs:
-            self._object_ba(track, okf_idx)
+        (ObjectLocalMapping thread analog). The BA device solve runs with
+        the object lock RELEASED so the tracking path never waits on it."""
+        with self._obj_lock:
+            okf_idx = len(track.keyframes) - 1
+            epoch = getattr(track, "epoch", 0)
+            self._cull_object_points(track, okf_idx)
+            self._fuse_object_neighbors(track, okf_idx)
+            n_cov = len(track.covisible_keyframes(okf_idx, min_weight=5))
+            ba_inputs = None
+            if n_cov > self.cfg.objects.ba_min_covisible_kfs:
+                ba_inputs = self._build_object_ba(track, okf_idx)
+        if ba_inputs is None:
+            return
+        prob, slot_edge, meta = ba_inputs
+        result = local_ba.bundle_adjust(prob, **self._cam_args)
+        self.ba_calls += 1
+        import threading
+
+        self.ba_threads.add(threading.get_ident())
+        with self._obj_lock:
+            if getattr(track, "epoch", 0) == epoch:
+                self._apply_object_ba(track, result, slot_edge, meta)
 
     def _fuse_object_neighbors(self, track: ObjectTrack, okf_idx: int):
         """Bind the new object-KF's unmatched features to existing object
@@ -635,19 +690,26 @@ class ObjectSystem:
         if cull.any():
             track.cull_points(valid[cull])
 
-    def _object_ba(self, track: ObjectTrack, okf_idx: int):
-        """Windowed BA over covisible object KFs with roll/pitch frozen
-        (reference Optimizer::ObjectLocalBundleAdjustment, window of 120
-        object-KF ids src/Optimizer.cc:47, VertexSE3Fix :836-838)."""
-        window_ids = [okf_idx] + [
+    def _build_object_ba(self, track: ObjectTrack, okf_idx: int):
+        """Assemble the windowed object BA problem: covisible object KFs
+        within the 120-id window with roll/pitch frozen (reference
+        Optimizer::ObjectLocalBundleAdjustment, window src/Optimizer.cc:47,
+        VertexSE3Fix :836-838). Called with the object lock held; returns
+        (prob, slot_edge, meta) for the lock-free solve, or None."""
+        window_all = sorted(set([okf_idx] + [
             int(i)
             for i in track.covisible_keyframes(okf_idx, min_weight=5)
             if okf_idx - int(i) <= self.cfg.objects.ba_window_kf_ids
-        ]
-        window_ids = sorted(set(window_ids))[-16:]
+        ]))
+        P_cap = 32
+        window_ids = window_all[-P_cap:]
+        if len(window_all) > len(window_ids):
+            from pointslot_tpu.utils.profiling import PROFILER
+
+            PROFILER.count("object_ba_window_truncated",
+                           len(window_all) - len(window_ids))
         kfs = [track.keyframes[i] for i in window_ids]
-        P_cap, L_cap = 16, track.max_points
-        E_cap = 4096
+        L_cap = track.max_points
 
         pts = np.nonzero(track.pt_valid)[0]
         pt_row = np.full(track.max_points, -1, np.int64)
@@ -666,19 +728,14 @@ class ObjectSystem:
             )
             e_stereo.append(okf.depth[bound] > 0)
             e_inv2.append(1.0 / self._scales[okf.level[bound]] ** 2)
-        e_pose = np.concatenate(e_pose)[:E_cap]
-        e_point = np.concatenate(e_point)[:E_cap]
-        e_obs = np.concatenate(e_obs)[:E_cap]
-        e_stereo = np.concatenate(e_stereo)[:E_cap]
-        e_inv2 = np.concatenate(e_inv2)[:E_cap]
+        e_pose = np.concatenate(e_pose)
+        e_point = np.concatenate(e_point)
+        e_obs = np.concatenate(e_obs)
+        e_stereo = np.concatenate(e_stereo)
+        e_inv2 = np.concatenate(e_inv2)
         E = len(e_pose)
         if E < 30:
             return
-
-        def pad(a, cap, fill=0):
-            out = np.full((cap,) + np.asarray(a).shape[1:], fill, np.asarray(a).dtype)
-            out[: len(a)] = np.asarray(a)[:cap]
-            return out
 
         # dof mask: translations + yaw (omega_y) free; roll/pitch frozen
         dof = np.zeros((P_cap, 6), np.float32)
@@ -686,30 +743,35 @@ class ObjectSystem:
         dof[:, 4] = 1.0
         fixed = [i == 0 for i in range(len(kfs))]
 
-        prob = local_ba.BAProblem(
-            poses=jnp.asarray(pad(np.stack([k.T_co for k in kfs]), P_cap), jnp.float32),
-            pose_fixed=jnp.asarray(pad(np.asarray(fixed), P_cap, True)),
-            pose_valid=jnp.asarray(pad(np.ones(len(kfs), bool), P_cap, False)),
-            dof_mask=jnp.asarray(dof),
-            points=jnp.asarray(pad(track.pt_pos[pts].astype(np.float32), L_cap)),
-            point_valid=jnp.asarray(pad(np.ones(len(pts), bool), L_cap, False)),
-            e_pose=jnp.asarray(pad(e_pose.astype(np.int32), E_cap)),
-            e_point=jnp.asarray(pad(e_point.astype(np.int32), E_cap)),
-            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E_cap)),
-            e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
-            e_inv_sigma2=jnp.asarray(pad(e_inv2.astype(np.float32), E_cap)),
-            e_valid=jnp.asarray(pad(np.ones(E, bool), E_cap, False)),
+        prob, slot_edge = local_ba.build_problem(
+            poses=np.stack([k.T_co for k in kfs]).astype(np.float32),
+            pose_fixed=np.asarray(fixed),
+            points=track.pt_pos[pts].astype(np.float32),
+            e_pose=e_pose, e_point=e_point, e_obs=e_obs, e_stereo=e_stereo,
+            e_inv_sigma2=e_inv2,
+            P_cap=P_cap, L_cap=L_cap, K=self.cfg.ba.max_obs_per_point,
+            dof_mask=dof,
         )
-        result = local_ba.bundle_adjust(prob, **self._cam_args)
-        self.ba_calls += 1
+        meta = dict(kfs=kfs, fixed=fixed, pts=pts, window_ids=window_ids,
+                    e_pose=e_pose, e_point=e_point)
+        return prob, slot_edge, meta
+
+    def _apply_object_ba(self, track: ObjectTrack, result, slot_edge, meta):
+        """Write the solve back onto the track tables (object lock held)."""
+        kfs, fixed, pts = meta["kfs"], meta["fixed"], meta["pts"]
+        window_ids, e_pose, e_point = (
+            meta["window_ids"], meta["e_pose"], meta["e_point"]
+        )
         new_poses = np.asarray(result.poses, np.float64)
         for ri, okf in enumerate(kfs):
             if not fixed[ri]:
                 okf.T_co = new_poses[ri]
-        track.pt_pos[pts] = np.asarray(result.points, np.float64)[: len(pts)]
+        still = track.pt_valid[pts]  # points culled since build stay culled
+        track.pt_pos[pts[still]] = np.asarray(
+            result.points, np.float64)[: len(pts)][still]
         # drop outlier observations
-        inl = np.asarray(result.edge_inlier)[:E]
-        for b in np.nonzero(~inl)[0]:
+        inl = np.asarray(result.obs_inlier)
+        for b in slot_edge[(slot_edge >= 0) & ~inl]:
             okf = kfs[int(e_pose[b])]
             p = pts[int(e_point[b])]
             featsel = np.nonzero(okf.point_idx == p)[0]

@@ -112,6 +112,9 @@ class ObjectTrack:
     dyn_votes: int = 0               # consecutive same-direction votes
     track_ok: bool = False
     n_inliers: int = 0
+    # bumped on wholesale table resets (re-init) so an in-flight async BA
+    # solve built against the old tables is discarded at write-back
+    epoch: int = 0
     MAX_OKF: int = 128
 
     def __post_init__(self):

@@ -113,7 +113,7 @@ class System:
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf: int):
         if self._mapping_thread is not None:
-            self._mapping_queue.put(kf)
+            self._mapping_queue.put(("camera", kf))
         else:
             self._process_keyframe_sync(kf)
 
@@ -124,20 +124,29 @@ class System:
                 self.loop_closer.on_keyframe(kf)
 
     def _mapping_worker(self):
-        """Async mapping thread — the LocalMapping/LoopClosing thread analog
-        (reference src/System.cc:106-118 spawns them; hand-off is the
-        InsertKeyFrame queue, src/LocalMapping.cc:265). Shares MapState with
-        tracking under map_lock (the reference's mMutexMapUpdate)."""
+        """Async mapping thread — the LocalMapping/ObjectLocalMapping/
+        LoopClosing thread analog (reference src/System.cc:106-118 spawns
+        them; hand-off is the InsertKeyFrame queues, src/LocalMapping.cc:265
+        and src/ObjectLocalMapping.cpp:55). Camera work shares MapState with
+        tracking under map_lock (the reference's mMutexMapUpdate); object
+        work locks per the ObjectSystem's own lock, with the BA solve
+        running unlocked."""
         while True:
-            kf = self._mapping_queue.get()
-            if kf is None:
+            item = self._mapping_queue.get()
+            if item is None:
+                self._mapping_queue.task_done()
                 return
             try:
-                self._process_keyframe_sync(kf)
+                if item[0] == "camera":
+                    self._process_keyframe_sync(item[1])
+                elif item[0] == "object" and self._object_system is not None:
+                    self._object_system.process_object_task(item[1], item[2])
             except Exception:  # pragma: no cover - worker must not die silently
                 import traceback
 
                 traceback.print_exc()
+            finally:
+                self._mapping_queue.task_done()
 
     def _on_loop_closed(self, corrections):
         # pose landscape changed under the tracker: drop the velocity model
@@ -390,12 +399,10 @@ class System:
                 write_trajectory_kitti(f"{prefix}_{track.track_id}.txt", rows)
 
     def wait_for_mapping(self):
-        """Block until the async mapping queue is drained."""
+        """Block until the async mapping queue is drained AND the in-flight
+        task (if any) has finished."""
         if self._mapping_thread is not None:
-            import time as _t
-
-            while not self._mapping_queue.empty():
-                _t.sleep(0.005)
+            self._mapping_queue.join()
 
     def shutdown(self):
         self.wait_for_mapping()

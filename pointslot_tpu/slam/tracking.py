@@ -209,7 +209,7 @@ class CameraTracker:
     def _match_and_optimize(
         self, frame: FrameRecord, pt_idx: np.ndarray, T_init: np.ndarray,
         radius: float, pred_level: np.ndarray, th_desc: int,
-        keep_existing: bool = False,
+        keep_existing: bool = False, level_window: int = 2,
     ) -> int:
         """Project the given map points into the frame, associate, solve pose.
         Returns inlier count; writes frame.T_cw and frame.point_idx."""
@@ -240,6 +240,7 @@ class CameraTracker:
             jnp.asarray(pad(pred_level.astype(np.int32))),
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             th_desc=th_desc,
+            level_window=jnp.int32(level_window),
             **self._cam_args,
         )
         pf = np.asarray(res.point_for_feature)

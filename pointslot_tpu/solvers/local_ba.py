@@ -11,24 +11,33 @@ Replaces the reference's g2o-based BA family with one engine:
   (VertexSE3Fix oplus, reference include/g2o_Object.h:127-147) — handled
   here by a per-pose 6-dof mask on the tangent update.
 - Optimizer::[Global]BundleAdjustment (reference src/Optimizer.cc:51/:59):
-  same engine at larger capacity.
+  same engine at larger capacity, optionally sharded over a device mesh
+  (pass ``axis_name``; see parallel/dist_ba.py).
 
-TPU design: the point-block marginalization is EXPLICIT — batched 3x3
-inverses of the point Hessian blocks, dense (P, P, 6, 6) reduced camera
-system assembled with one einsum over a dense (P, L, 6, 3) coupling tensor
-(P <= 32 poses, L <= 8k points: ~19 MB — comfortably HBM-resident, and the
-einsum is MXU work). The reduced system is solved densely; point updates
-back-substitute in a batch. Iteration counts are static; validity is
-masking.
+TPU design: observations live in a POINT-MAJOR (L, K) slot layout — row l
+holds up to K observations of point l. Every Hessian-block reduction is
+then a dense einsum (slots of one point are adjacent; pose coupling goes
+through a one-hot contraction on the MXU): zero scatters, zero segment
+sums anywhere in the iteration. The point-block marginalization is
+explicit — batched closed-form 3x3 inverses, a dense (L, P, 6, 3)
+coupling tensor, and a dense (P, P, 6, 6) reduced camera system.
+Iteration counts are static; validity is masking.
+
+Distribution: the SAME solver body runs sharded — shard the L axis over a
+mesh and pass ``axis_name``; the four pose-coupled reductions (Hpp, bp,
+S_cross, the b_red correction) and the LM cost check get a psum, point
+blocks stay shard-local. Single-chip and distributed solves are therefore
+the same algorithm to within reduction order.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointslot_tpu.geometry import se3
 
@@ -37,64 +46,159 @@ CHI2_STEREO = 7.815
 
 
 class BAProblem(NamedTuple):
-    """Fixed-capacity BA problem. P poses, L points, E edges."""
+    """Fixed-capacity BA problem. P poses, L points, K obs slots per point."""
 
-    poses: jnp.ndarray        # (P, 4, 4) T_cw initial
-    pose_fixed: jnp.ndarray   # (P,) bool — held constant
-    pose_valid: jnp.ndarray   # (P,) bool
-    dof_mask: jnp.ndarray     # (P, 6) float — 1 = free, 0 = frozen dof
-    points: jnp.ndarray       # (L, 3) world points initial
-    point_valid: jnp.ndarray  # (L,) bool
-    e_pose: jnp.ndarray       # (E,) int32 pose index per edge
-    e_point: jnp.ndarray      # (E,) int32 point index per edge
-    e_obs: jnp.ndarray        # (E, 3) (u, v, uR)
-    e_stereo: jnp.ndarray     # (E,) bool
-    e_inv_sigma2: jnp.ndarray  # (E,)
-    e_valid: jnp.ndarray      # (E,) bool
+    poses: jnp.ndarray           # (P, 4, 4) T_cw initial
+    pose_fixed: jnp.ndarray      # (P,) bool — held constant
+    pose_valid: jnp.ndarray      # (P,) bool
+    dof_mask: jnp.ndarray        # (P, 6) float — 1 = free, 0 = frozen dof
+    points: jnp.ndarray          # (L, 3) world points initial
+    point_valid: jnp.ndarray     # (L,) bool
+    obs_pose: jnp.ndarray        # (L, K) int32 pose index per slot
+    obs_uvr: jnp.ndarray         # (L, K, 3) (u, v, uR)
+    obs_stereo: jnp.ndarray      # (L, K) bool
+    obs_inv_sigma2: jnp.ndarray  # (L, K)
+    obs_valid: jnp.ndarray       # (L, K) bool
 
 
 class BAResult(NamedTuple):
-    poses: jnp.ndarray        # (P, 4, 4)
-    points: jnp.ndarray       # (L, 3)
-    edge_inlier: jnp.ndarray  # (E,) bool
-    cost: jnp.ndarray         # () final robust cost
+    poses: jnp.ndarray       # (P, 4, 4)
+    points: jnp.ndarray      # (L, 3)
+    obs_inlier: jnp.ndarray  # (L, K) bool
+    cost: jnp.ndarray        # () final robust cost
 
 
-def _gather_poses(poses, e_pose):
-    """poses (P, 4, 4) indexed by (E,) — as a one-hot matmul (P is small and
-    TPU gathers are slow; one (E, P) x (P, 16) contraction is exact and
-    bandwidth-bound)."""
-    P = poses.shape[0]
-    onehot = (
-        e_pose[:, None] == jnp.arange(P, dtype=e_pose.dtype)[None, :]
-    ).astype(poses.dtype)
-    return jax.lax.dot_general(
-        onehot, poses.reshape(P, 16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(-1, 4, 4)
+# ---------------------------------------------------------------------------
+# host-side problem builder: flat edge lists -> point-major slots
+# ---------------------------------------------------------------------------
+
+def build_problem(
+    poses: np.ndarray,          # (n, 4, 4)
+    pose_fixed,                 # (n,) bool-like
+    points: np.ndarray,         # (m, 3)
+    e_pose: np.ndarray,         # (E,) int
+    e_point: np.ndarray,        # (E,) int
+    e_obs: np.ndarray,          # (E, 3)
+    e_stereo: np.ndarray,       # (E,) bool
+    e_inv_sigma2: np.ndarray,   # (E,)
+    P_cap: int,
+    L_cap: int,
+    K: int,
+    dof_mask: Optional[np.ndarray] = None,
+) -> Tuple[BAProblem, np.ndarray]:
+    """Pack flat edge arrays into the point-major layout.
+
+    Returns (problem, slot_edge) where slot_edge (L_cap, K) maps each
+    observation slot back to its row in the input edge arrays (-1 = empty),
+    so callers can push per-slot inlier flags back onto their own indices.
+    Edges beyond K per point or beyond the caps are dropped.
+    """
+    n = len(poses)
+    m = len(points)
+    assert n <= P_cap and m <= L_cap, (n, P_cap, m, L_cap)
+    e_pose = np.asarray(e_pose, np.int64)
+    e_point = np.asarray(e_point, np.int64)
+    keep = (e_pose >= 0) & (e_pose < n) & (e_point >= 0) & (e_point < m)
+    eidx = np.nonzero(keep)[0]
+
+    order = eidx[np.argsort(e_point[eidx], kind="stable")]
+    sp = e_point[order]
+    first = np.searchsorted(sp, sp, side="left")
+    slot = np.arange(len(sp)) - first
+    sel = slot < K
+    order, sp, slot = order[sel], sp[sel], slot[sel]
+
+    obs_pose = np.zeros((L_cap, K), np.int32)
+    obs_uvr = np.zeros((L_cap, K, 3), np.float32)
+    obs_stereo = np.zeros((L_cap, K), bool)
+    obs_inv2 = np.ones((L_cap, K), np.float32)
+    obs_valid = np.zeros((L_cap, K), bool)
+    slot_edge = np.full((L_cap, K), -1, np.int64)
+
+    obs_pose[sp, slot] = e_pose[order].astype(np.int32)
+    obs_uvr[sp, slot] = np.asarray(e_obs, np.float32)[order]
+    obs_stereo[sp, slot] = np.asarray(e_stereo, bool)[order]
+    obs_inv2[sp, slot] = np.asarray(e_inv_sigma2, np.float32)[order]
+    obs_valid[sp, slot] = True
+    slot_edge[sp, slot] = order
+
+    def pad(a, cap, fill=0):
+        a = np.asarray(a)
+        out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a[:cap]
+        return out
+
+    if dof_mask is None:
+        dof = np.ones((P_cap, 6), np.float32)
+    else:
+        dof = pad(np.asarray(dof_mask, np.float32), P_cap, 1.0)
+
+    prob = BAProblem(
+        poses=jnp.asarray(pad(np.asarray(poses, np.float32), P_cap)),
+        pose_fixed=jnp.asarray(pad(np.asarray(pose_fixed, bool), P_cap, True)),
+        pose_valid=jnp.asarray(pad(np.ones(n, bool), P_cap, False)),
+        dof_mask=jnp.asarray(dof),
+        points=jnp.asarray(pad(np.asarray(points, np.float32), L_cap)),
+        point_valid=jnp.asarray(pad(np.ones(m, bool), L_cap, False)),
+        obs_pose=jnp.asarray(obs_pose),
+        obs_uvr=jnp.asarray(obs_uvr),
+        obs_stereo=jnp.asarray(obs_stereo),
+        obs_inv_sigma2=jnp.asarray(obs_inv2),
+        obs_valid=jnp.asarray(obs_valid),
+    )
+    return prob, slot_edge
 
 
-def _edge_points_cam(poses, points, prob, fx, fy, cx, cy, bf):
-    T = _gather_poses(poses, prob.e_pose)                   # (E, 4, 4)
-    X = points[prob.e_point]                                # (E, 3)
-    return se3.transform_points(T, X), T
+# ---------------------------------------------------------------------------
+# device-side pieces
+# ---------------------------------------------------------------------------
+
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table (P, ...) gathered by integer idx of any shape.
+
+    Small tables (P <= 64) use a one-hot MXU contraction (TPU gathers are
+    slow, the one-hot is exact); larger tables fall back to take, where the
+    one-hot operand would dominate memory.
+    """
+    P = table.shape[0]
+    flat = table.reshape(P, -1)
+    if P <= 64:
+        oh = (
+            idx.reshape(-1)[:, None] == jnp.arange(P, dtype=idx.dtype)[None, :]
+        ).astype(flat.dtype)
+        out = jax.lax.dot_general(
+            oh, flat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        out = jnp.take(flat, idx.reshape(-1), axis=0)
+    return out.reshape(idx.shape + table.shape[1:])
 
 
-def _edge_residuals_only(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
-    """Residuals (E, 3) + behind mask, no Jacobians (for LM cost checks)."""
-    pc, _ = _edge_points_cam(poses, points, prob, fx, fy, cx, cy, bf)
+def _pose_onehot(obs_pose: jnp.ndarray, P: int) -> jnp.ndarray:
+    """(L, K) int32 -> (L, K, P) f32 one-hot."""
+    return (
+        obs_pose[..., None] == jnp.arange(P, dtype=obs_pose.dtype)
+    ).astype(jnp.float32)
+
+
+def _residuals_only(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
+    """Residuals (L, K, 3) + behind-camera mask, no Jacobians."""
+    T = _gather_rows(poses, prob.obs_pose)                  # (L, K, 4, 4)
+    pc = jnp.einsum("lkij,lj->lki", T[..., :3, :3], points) + T[..., :3, 3]
     z = jnp.maximum(pc[..., 2], 1e-6)
     u = fx * pc[..., 0] / z + cx
     v = fy * pc[..., 1] / z + cy
-    res = jnp.stack([u, v, u - bf / z], axis=-1) - prob.e_obs
+    res = jnp.stack([u, v, u - bf / z], axis=-1) - prob.obs_uvr
     return res, pc[..., 2] <= 0.05
 
 
-def _edge_residuals(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
-    """Residuals (E, 3), pose Jacobians (E, 3, 6), point Jacobians (E, 3, 3)."""
-    pc, T = _edge_points_cam(poses, points, prob, fx, fy, cx, cy, bf)
+def _residuals_jac(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
+    """Residuals (L, K, 3), pose Jac (L, K, 3, 6), point Jac (L, K, 3, 3)."""
+    T = _gather_rows(poses, prob.obs_pose)                  # (L, K, 4, 4)
+    pc = jnp.einsum("lkij,lj->lki", T[..., :3, :3], points) + T[..., :3, 3]
     x, y = pc[..., 0], pc[..., 1]
     z = jnp.maximum(pc[..., 2], 1e-6)
     iz = 1.0 / z
@@ -102,23 +206,21 @@ def _edge_residuals(poses, points, prob: BAProblem, fx, fy, cx, cy, bf):
     u = fx * x * iz + cx
     v = fy * y * iz + cy
     ur = u - bf * iz
-    res = jnp.stack([u, v, ur], axis=-1) - prob.e_obs
+    res = jnp.stack([u, v, ur], axis=-1) - prob.obs_uvr
 
-    du_dp = jnp.stack([fx * iz, jnp.zeros_like(z), -fx * x * iz2], axis=-1)
-    dv_dp = jnp.stack([jnp.zeros_like(z), fy * iz, -fy * y * iz2], axis=-1)
-    dur_dp = du_dp + jnp.stack(
-        [jnp.zeros_like(z), jnp.zeros_like(z), bf * iz2], axis=-1
-    )
-    J_p = jnp.stack([du_dp, dv_dp, dur_dp], axis=-2)        # (E, 3, 3) d res/d pc
+    zero = jnp.zeros_like(z)
+    du_dp = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1)
+    dv_dp = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1)
+    dur_dp = du_dp + jnp.stack([zero, zero, bf * iz2], axis=-1)
+    J_p = jnp.stack([du_dp, dv_dp, dur_dp], axis=-2)        # (L, K, 3, 3)
     dpc_dxi = jnp.concatenate(
         [jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3)),
          -se3.hat(pc)],
         axis=-1,
-    )                                                        # (E, 3, 6)
-    J_pose = J_p @ dpc_dxi                                   # (E, 3, 6)
-    J_point = J_p @ T[..., :3, :3]                           # (E, 3, 3)
-    behind = pc[..., 2] <= 0.05
-    return res, J_pose, J_point, behind
+    )                                                        # (L, K, 3, 6)
+    J_pose = J_p @ dpc_dxi                                   # (L, K, 3, 6)
+    J_point = J_p @ T[..., :3, :3]                           # (L, K, 3, 3)
+    return res, J_pose, J_point, pc[..., 2] <= 0.05
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -149,7 +251,7 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-def _edge_chi2(res, stereo, inv_sigma2):
+def _chi2(res, stereo, inv_sigma2):
     r2 = res[..., 0] ** 2 + res[..., 1] ** 2 + jnp.where(stereo, res[..., 2] ** 2, 0.0)
     return r2 * inv_sigma2
 
@@ -160,71 +262,81 @@ def _robust_cost(chi2, delta2):
     return jnp.where(chi2 <= delta2, chi2, lin)
 
 
+# ---------------------------------------------------------------------------
+# the solver
+# ---------------------------------------------------------------------------
+
 @partial(
     jax.jit,
-    static_argnames=("fx", "fy", "cx", "cy", "bf", "stage_iters", "use_huber_stages"),
+    static_argnames=("fx", "fy", "cx", "cy", "bf", "stage_iters",
+                     "use_huber_stages", "axis_name"),
 )
 def bundle_adjust(
     prob: BAProblem,
     fx: float, fy: float, cx: float, cy: float, bf: float,
     stage_iters: tuple = (5, 10),
     use_huber_stages: tuple = (True, False),
+    axis_name=None,
 ) -> BAResult:
     """Two-stage LM Schur BA with an outlier pass between stages, mirroring
-    the reference's 5+10-iteration protocol (src/Optimizer.cc:996-1035)."""
+    the reference's 5+10-iteration protocol (src/Optimizer.cc:996-1035).
+
+    With ``axis_name`` set (running inside shard_map with the L axis
+    sharded), pose-coupled reductions are psum'd over that axis and the
+    solve is the distributed engine — same math, same staging, same gates.
+    """
     P = prob.poses.shape[0]
     L = prob.points.shape[0]
 
-    delta_mono = jnp.float32(CHI2_MONO)
-    delta_stereo = jnp.float32(CHI2_STEREO)
-    delta2 = jnp.where(prob.e_stereo, delta_stereo, delta_mono)
+    def ps(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    delta2 = jnp.where(prob.obs_stereo, jnp.float32(CHI2_STEREO),
+                       jnp.float32(CHI2_MONO))
 
     def total_cost(poses, points, active, robust):
-        res, behind = _edge_residuals_only(poses, points, prob, fx, fy, cx, cy, bf)
-        chi2 = _edge_chi2(res, prob.e_stereo, prob.e_inv_sigma2)
-        per_edge = _robust_cost(chi2, delta2) if robust else chi2
-        return jnp.sum(jnp.where(active & ~behind, per_edge, 0.0))
+        res, behind = _residuals_only(poses, points, prob, fx, fy, cx, cy, bf)
+        chi2 = _chi2(res, prob.obs_stereo, prob.obs_inv_sigma2)
+        per = _robust_cost(chi2, delta2) if robust else chi2
+        return ps(jnp.sum(jnp.where(active & ~behind, per, 0.0)))
 
     def lm_iterations(poses, points, active, n_iters, robust):
         def body(_, carry):
             poses, points, lam, cost = carry
-            res, J_pose, J_point, behind = _edge_residuals(
+            res, J_pose, J_point, behind = _residuals_jac(
                 poses, points, prob, fx, fy, cx, cy, bf
             )
             ok = active & ~behind
-            chi2 = _edge_chi2(res, prob.e_stereo, prob.e_inv_sigma2)
+            chi2 = _chi2(res, prob.obs_stereo, prob.obs_inv_sigma2)
             r_norm2 = jnp.maximum(chi2, 1e-12)
             huber_w = (
                 jnp.where(r_norm2 > delta2, jnp.sqrt(delta2 / r_norm2), 1.0)
                 if robust
                 else jnp.ones_like(chi2)
             )
-            w = jnp.where(ok, prob.e_inv_sigma2 * huber_w, 0.0)  # (E,)
+            w = jnp.where(ok, prob.obs_inv_sigma2 * huber_w, 0.0)   # (L, K)
             row_mask = jnp.stack(
-                [jnp.ones_like(w), jnp.ones_like(w), prob.e_stereo.astype(w.dtype)],
-                axis=-1,
-            )                                                    # (E, 3)
-            # apply per-pose dof mask to pose Jacobian columns
-            J_pose_m = J_pose * prob.dof_mask[prob.e_pose][:, None, :]
-            Jw_pose = J_pose_m * (w[:, None, None] * row_mask[:, :, None])
-            Jw_point = J_point * (w[:, None, None] * row_mask[:, :, None])
+                [jnp.ones_like(w), jnp.ones_like(w),
+                 prob.obs_stereo.astype(w.dtype)], axis=-1,
+            )                                                        # (L, K, 3)
+            dofg = _gather_rows(prob.dof_mask, prob.obs_pose)        # (L, K, 6)
+            J_pose_m = J_pose * dofg[..., None, :]
+            wr = w[..., None] * row_mask                             # (L, K, 3)
+            Jw_pose = J_pose_m * wr[..., None]
+            Jw_point = J_point * wr[..., None]
 
-            # block accumulations
-            Hpp = jax.ops.segment_sum(
-                jnp.einsum("eij,eik->ejk", Jw_pose, J_pose_m), prob.e_pose, P
-            )                                                    # (P, 6, 6)
-            Hll = jax.ops.segment_sum(
-                jnp.einsum("eij,eik->ejk", Jw_point, J_point), prob.e_point, L
-            )                                                    # (L, 3, 3)
-            bp = jax.ops.segment_sum(
-                jnp.einsum("eij,ei->ej", Jw_pose, res), prob.e_pose, P
-            )                                                    # (P, 6)
-            bl = jax.ops.segment_sum(
-                jnp.einsum("eij,ei->ej", Jw_point, res), prob.e_point, L
-            )                                                    # (L, 3)
-            Wc = jnp.zeros((P, L, 6, 3), res.dtype).at[prob.e_pose, prob.e_point].add(
-                jnp.einsum("eij,eik->ejk", Jw_pose, J_point)
-            )                                                    # (P, L, 6, 3)
+            onehot = _pose_onehot(prob.obs_pose, P)                  # (L, K, P)
+            # pose blocks: contract (l, k) on the MXU
+            JJ = jnp.einsum("lkri,lkrj->lkij", Jw_pose, J_pose_m)
+            Hpp = ps(jnp.einsum("lkp,lkij->pij", onehot, JJ))        # (P, 6, 6)
+            Jr = jnp.einsum("lkri,lkr->lki", Jw_pose, res)
+            bp = ps(jnp.einsum("lkp,lki->pi", onehot, Jr))           # (P, 6)
+            # point blocks: dense per-row reductions
+            Hll = jnp.einsum("lkri,lkrj->lij", Jw_point, J_point)    # (L, 3, 3)
+            bl = jnp.einsum("lkri,lkr->li", Jw_point, res)           # (L, 3)
+            # coupling: one-hot over the pose axis, contract k
+            G = jnp.einsum("lkri,lkrj->lkij", Jw_pose, J_point)      # (L, K, 6, 3)
+            U = jnp.einsum("lkp,lkij->lpij", onehot, G)              # (L, P, 6, 3)
 
             # damp + invert point blocks (marginalization)
             Hll_d = Hll + (lam * jnp.eye(3)[None] * jnp.maximum(
@@ -237,14 +349,14 @@ def bundle_adjust(
             )
 
             # reduced camera system
-            W2 = jnp.einsum("plij,ljk->plik", Wc, Hll_inv)       # (P, L, 6, 3)
-            S_cross = jnp.einsum("alik,bljk->abij", W2, Wc)      # (P, P, 6, 6)
+            W2 = jnp.einsum("lpij,ljk->lpik", U, Hll_inv)            # (L, P, 6, 3)
+            S_cross = ps(jnp.einsum("laik,lbjk->abij", W2, U))       # (P, P, 6, 6)
             Hpp_d = Hpp + lam * jnp.eye(6)[None] * jnp.maximum(
                 jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6
             )[:, :, None] * jnp.eye(6)[None]
             S = -S_cross
             S = S.at[jnp.arange(P), jnp.arange(P)].add(Hpp_d)
-            b_red = bp - jnp.einsum("plij,lj->pi", W2, bl)       # (P, 6)
+            b_red = bp - ps(jnp.einsum("lpij,lj->pi", W2, bl))       # (P, 6)
 
             # flatten to (6P, 6P), pin fixed/invalid poses to identity rows
             free = (
@@ -260,7 +372,7 @@ def bundle_adjust(
             dx_p = dx_p * prob.dof_mask
 
             # back-substitute points
-            rhs = bl + jnp.einsum("plij,pi->lj", Wc, dx_p)
+            rhs = bl + jnp.einsum("lpij,pi->lj", U, dx_p)
             dx_l = -jnp.einsum("lij,lj->li", Hll_inv, rhs)
 
             poses_new = jax.vmap(se3.se3_retract)(poses, dx_p)
@@ -284,15 +396,15 @@ def bundle_adjust(
         )
         return poses, points, cost
 
-    active = prob.e_valid
+    active = prob.obs_valid
     poses, points = prob.poses, prob.points
     cost = jnp.float32(0.0)
     for iters, robust in zip(stage_iters, use_huber_stages):
         poses, points, cost = lm_iterations(poses, points, active, iters, robust)
         # outlier pass (reference drops chi2 > gate or depth<=0 between stages)
-        res, _, _, behind = _edge_residuals(poses, points, prob, fx, fy, cx, cy, bf)
-        chi2 = _edge_chi2(res, prob.e_stereo, prob.e_inv_sigma2)
-        gate = jnp.where(prob.e_stereo, CHI2_STEREO, CHI2_MONO)
-        active = prob.e_valid & (chi2 <= gate) & ~behind
+        res, behind = _residuals_only(poses, points, prob, fx, fy, cx, cy, bf)
+        chi2 = _chi2(res, prob.obs_stereo, prob.obs_inv_sigma2)
+        gate = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO)
+        active = prob.obs_valid & (chi2 <= gate) & ~behind
 
-    return BAResult(poses=poses, points=points, edge_inlier=active, cost=cost)
+    return BAResult(poses=poses, points=points, obs_inlier=active, cost=cost)

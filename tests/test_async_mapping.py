@@ -38,6 +38,70 @@ def test_async_mapping_tracks_ok():
     assert ate < 0.15, f"async ATE {ate:.3f}"
 
 
+def run_objects(async_mapping: bool):
+    from pointslot_tpu.config import SLOTMode
+    from pointslot_tpu.datasets.synthetic import offline_detection_rows
+    from pointslot_tpu.slam.objects import Detection
+
+    scene = make_scene(n_frames=N, n_points=2500, n_objects=2, seed=31,
+                       forward_speed=0.8)
+    renderer = SyntheticRenderer(scene)
+    rows = offline_detection_rows(scene)
+    cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+    cfg = cfg.replace(
+        objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "init_min_features": 10,
+               "init_min_map_points": 8, "min_tracked_points": 8,
+               "track_min_features": 10, "set_init_position_by_points": False}),
+        tracking=cfg.tracking.__class__(
+            **{**cfg.tracking.__dict__, "min_init_stereo_features": 350}),
+        runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "async_mapping": async_mapping}),
+    )
+    system = System(cfg)
+    for i in range(N):
+        left, right, inst = renderer.render(i)
+        frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+        dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
+                for r in frame_rows]
+        system.track_stereo(left, right, i * 0.1, i,
+                            detections=dets, instance_mask=inst)
+    system.wait_for_mapping()
+    objsys = system._object_system
+    system.shutdown()
+    return scene, objsys
+
+
+def test_object_mapping_off_tracking_thread():
+    """Reference runs object fuse/cull/BA on its own thread
+    (src/ObjectLocalMapping.cpp:356); with async_mapping the object BA must
+    never execute on the tracking (main) thread, and results must match the
+    synchronous path."""
+    import threading
+
+    _, objsys_a = run_objects(async_mapping=True)
+    assert objsys_a.ba_calls >= 1, "object BA never fired"
+    main = threading.main_thread().ident
+    assert main not in objsys_a.ba_threads, "object BA ran on tracking thread"
+
+    _, objsys_s = run_objects(async_mapping=False)
+    assert objsys_s.ba_calls >= 1
+    # same-object queue gate may coalesce some solves, never add more
+    assert objsys_a.ba_calls <= objsys_s.ba_calls
+    # per-track final object poses agree between the two schedules
+    for tid, tr_a in objsys_a.tracks.items():
+        tr_s = objsys_s.tracks.get(tid)
+        if tr_s is None or not tr_a.poses_cf or not tr_s.poses_cf:
+            continue
+        common = set(tr_a.poses_cf) & set(tr_s.poses_cf)
+        assert len(common) >= len(tr_s.poses_cf) // 2
+        diffs = [
+            np.linalg.norm(tr_a.poses_cf[f][:3, 3] - tr_s.poses_cf[f][:3, 3])
+            for f in common
+        ]
+        assert np.median(diffs) < 0.2, f"track {tid} diverged: {np.median(diffs)}"
+
+
 def test_async_close_to_sync():
     _, _, traj_a, _ = run(async_mapping=True)
     _, _, traj_s, _ = run(async_mapping=False)

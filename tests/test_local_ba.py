@@ -7,9 +7,9 @@ from pointslot_tpu.solvers import local_ba
 FX, FY, CX, CY, BF = 721.5, 721.5, 609.6, 172.9, 384.4
 
 
-def build_problem(rng, n_poses=6, n_points=300, pose_noise=0.02, point_noise=0.05,
-                  obs_noise=0.2, P_cap=8, L_cap=512, E_cap=4096,
-                  freeze_first=True, dof_mask=None):
+def make_problem(rng, n_poses=6, n_points=300, pose_noise=0.02, point_noise=0.05,
+                 obs_noise=0.2, P_cap=8, L_cap=512, K=8,
+                 freeze_first=True, dof_mask=None, corrupt_frac=0.0):
     # ground truth: camera moves forward, points in front
     poses_true = []
     T = np.eye(4)
@@ -36,13 +36,11 @@ def build_problem(rng, n_poses=6, n_points=300, pose_noise=0.02, point_noise=0.0
             e_pose.append(p); e_point.append(l)
             e_obs.append(obs); e_stereo.append(True)
     E = len(e_pose)
-    assert E <= E_cap
-
-    def pad(arr, cap, fill=0):
-        arr = np.asarray(arr)
-        out = np.full((cap,) + arr.shape[1:], fill, arr.dtype)
-        out[: len(arr)] = arr
-        return out
+    e_obs = np.stack(e_obs)
+    bad = np.asarray([], np.int64)
+    if corrupt_frac > 0:
+        bad = rng.choice(E, int(E * corrupt_frac), replace=False)
+        e_obs[bad, :2] += rng.uniform(20, 60, size=(len(bad), 2))
 
     # perturbed initial values
     poses_init = []
@@ -54,22 +52,15 @@ def build_problem(rng, n_poses=6, n_points=300, pose_noise=0.02, point_noise=0.0
             poses_init.append(np.asarray(se3.se3_exp(jnp.asarray(xi))) @ Tt)
     pts_init = pts_true + rng.normal(size=pts_true.shape).astype(np.float32) * point_noise
 
-    dof = np.ones((P_cap, 6), np.float32) if dof_mask is None else dof_mask
-    prob = local_ba.BAProblem(
-        poses=jnp.asarray(pad(np.stack(poses_init), P_cap), jnp.float32),
-        pose_fixed=jnp.asarray(pad([freeze_first] + [False] * (n_poses - 1), P_cap, True)),
-        pose_valid=jnp.asarray(pad([True] * n_poses, P_cap, False)),
-        dof_mask=jnp.asarray(dof),
-        points=jnp.asarray(pad(pts_init, L_cap), jnp.float32),
-        point_valid=jnp.asarray(pad([True] * n_points, L_cap, False)),
-        e_pose=jnp.asarray(pad(e_pose, E_cap), jnp.int32),
-        e_point=jnp.asarray(pad(e_point, E_cap), jnp.int32),
-        e_obs=jnp.asarray(pad(np.stack(e_obs), E_cap), jnp.float32),
-        e_stereo=jnp.asarray(pad(e_stereo, E_cap, False)),
-        e_inv_sigma2=jnp.asarray(pad([1.0] * E, E_cap), jnp.float32),
-        e_valid=jnp.asarray(pad([True] * E, E_cap, False)),
+    prob, slot_edge = local_ba.build_problem(
+        poses=np.stack(poses_init).astype(np.float32),
+        pose_fixed=[freeze_first] + [False] * (n_poses - 1),
+        points=pts_init,
+        e_pose=e_pose, e_point=e_point, e_obs=e_obs,
+        e_stereo=e_stereo, e_inv_sigma2=np.ones(E, np.float32),
+        P_cap=P_cap, L_cap=L_cap, K=K, dof_mask=dof_mask,
     )
-    return prob, np.stack(poses_true), pts_true, n_poses, n_points
+    return prob, slot_edge, np.stack(poses_true), pts_true, n_poses, n_points, bad
 
 
 def pose_rmse(poses_est, poses_true, n):
@@ -80,8 +71,20 @@ def pose_rmse(poses_est, poses_true, n):
     return float(np.sqrt(np.mean(np.square(errs))))
 
 
+def test_build_problem_roundtrip(rng):
+    """The point-major packer must keep every edge (below capacity) exactly
+    once, on the right point row, with the right payload."""
+    prob, slot_edge, _, _, P, L = make_problem(rng)[:6]
+    kept = slot_edge[slot_edge >= 0]
+    assert len(kept) == len(np.unique(kept))
+    # spot-check payload: each filled slot's pose/point matches its edge
+    ls, ks = np.nonzero(slot_edge >= 0)
+    assert np.asarray(prob.obs_valid)[ls, ks].all()
+    assert (~np.asarray(prob.obs_valid)[slot_edge < 0]).all()
+
+
 def test_ba_converges(rng):
-    prob, poses_true, pts_true, P, L = build_problem(rng)
+    prob, _, poses_true, pts_true, P, L, _ = make_problem(rng)
     before = pose_rmse(prob.poses, poses_true, P)
     result = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
     after = pose_rmse(result.poses, poses_true, P)
@@ -92,35 +95,37 @@ def test_ba_converges(rng):
 
 
 def test_ba_respects_fixed_pose(rng):
-    prob, poses_true, _, P, _ = build_problem(rng)
+    prob, _, poses_true, _, P, _, _ = make_problem(rng)
     result = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
     np.testing.assert_array_equal(np.asarray(result.poses[0]), np.asarray(prob.poses[0]))
 
 
 def test_ba_with_outliers(rng):
-    prob, poses_true, pts_true, P, L = build_problem(rng)
-    # corrupt 10% of edges
-    obs = np.asarray(prob.e_obs).copy()
-    valid = np.asarray(prob.e_valid)
-    n_valid = valid.sum()
-    bad = rng.choice(np.nonzero(valid)[0], n_valid // 10, replace=False)
-    obs[bad, :2] += rng.uniform(20, 60, size=(len(bad), 2))
-    prob = prob._replace(e_obs=jnp.asarray(obs))
+    prob, slot_edge, poses_true, pts_true, P, L, bad = make_problem(
+        rng, corrupt_frac=0.1)
     result = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
     after = pose_rmse(result.poses, poses_true, P)
     assert after < 5e-3, f"{after=}"
-    # outliers should be flagged
-    inl = np.asarray(result.edge_inlier)
-    assert inl[bad].mean() < 0.2
-    assert inl[np.setdiff1d(np.nonzero(valid)[0], bad)].mean() > 0.9
+    # outliers should be flagged: map slot inliers back to flat edge ids
+    inl = np.asarray(result.obs_inlier)
+    E = slot_edge.max() + 1
+    inl_flat = np.zeros(E, bool)
+    sel = slot_edge >= 0
+    inl_flat[slot_edge[sel]] = inl[sel]
+    packed = np.zeros(E, bool)
+    packed[slot_edge[sel]] = True
+    bad_in = bad[packed[bad]]
+    good_in = np.setdiff1d(np.nonzero(packed)[0], bad)
+    assert inl_flat[bad_in].mean() < 0.2
+    assert inl_flat[good_in].mean() > 0.9
 
 
 def test_ba_dof_mask_freezes_rotation(rng):
     dof = np.ones((8, 6), np.float32)
     dof[:, 3] = 0.0  # freeze omega_x (roll-ish) for all poses
     dof[:, 5] = 0.0  # freeze omega_z
-    prob, poses_true, _, P, _ = build_problem(rng, dof_mask=dof, pose_noise=0.0,
-                                              point_noise=0.02)
+    prob, _, poses_true, _, P, _, _ = make_problem(
+        rng, dof_mask=dof, pose_noise=0.0, point_noise=0.02)
     result = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
     # updates must not introduce roll/pitch relative to init
     for i in range(1, P):
@@ -129,23 +134,31 @@ def test_ba_dof_mask_freezes_rotation(rng):
         assert abs(xi[3]) < 1e-5 and abs(xi[5]) < 1e-5
 
 
-def test_sorted_segment_sum_matches(rng):
-    from pointslot_tpu.solvers.segsum import sorted_segment_sum
-    import jax
+def test_distributed_matches_local(rng):
+    """The mesh-sharded engine is the SAME solver (Huber stages, LM
+    accept/reject, outlier gates): poses must agree with the local solve to
+    reduction-order tolerance on an outlier-bearing problem."""
+    from pointslot_tpu.parallel.dist_ba import distributed_bundle_adjust
+    from pointslot_tpu.parallel.mesh import make_mesh
 
-    E, D, L = 3000, 7, 500
-    seg = np.sort(rng.integers(0, L, E)).astype(np.int32)
-    vals = rng.normal(size=(E, D)).astype(np.float32)
-    ref = np.asarray(jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg), L))
-    got = np.asarray(sorted_segment_sum(jnp.asarray(vals), jnp.asarray(seg), L,
-                                        chunk=256))
-    np.testing.assert_allclose(got, ref, atol=1e-4)
-    # degenerate cases: all one segment / empty tail segments
-    seg2 = np.zeros(E, np.int32)
-    got2 = np.asarray(sorted_segment_sum(jnp.asarray(vals), jnp.asarray(seg2), L,
-                                         chunk=256))
-    np.testing.assert_allclose(got2[0], vals.sum(0), rtol=1e-5)
-    np.testing.assert_allclose(got2[1:], 0.0, atol=1e-6)
+    mesh = make_mesh(8)
+    prob, _, poses_true, _, P, L, _ = make_problem(rng, corrupt_frac=0.1)
+    local = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
+    dist = distributed_bundle_adjust(prob, mesh, FX, FY, CX, CY, BF)
+    # both engines converge to the same optimum
+    np.testing.assert_allclose(
+        np.asarray(dist.poses[:P]), np.asarray(local.poses[:P]),
+        rtol=1e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.points[:L]), np.asarray(local.points[:L]),
+        rtol=1e-2, atol=5e-3,
+    )
+    # and the distributed result is actually good
+    assert pose_rmse(dist.poses, poses_true, P) < 5e-3
+    # inlier classification agrees almost everywhere
+    agree = (np.asarray(dist.obs_inlier) == np.asarray(local.obs_inlier)).mean()
+    assert agree > 0.99
 
 
 def test_inv3x3_matches_linalg(rng):
