@@ -163,6 +163,13 @@ class ObjectConfig:
     # GMS grid-statistics filtering of object brute matches (the reference's
     # SearchByBruceMatchingWithGMS path)
     use_gms: bool = False
+    # offline-optical-flow point tracking (Virtual KITTI flow maps; the
+    # reference's SearchByOfflineOpticalFlowTracking, src/ORBmatcher.cc:2236:
+    # search radius RADIUS_FORDYNAMIC=5 px, Hamming gate
+    # TH_HIGH_FORDYNAMIC=130)
+    use_offline_flow: bool = False
+    flow_match_radius: float = 5.0
+    flow_match_th_desc: int = 130
 
 
 @dataclass(frozen=True)
@@ -257,6 +264,20 @@ class RuntimeConfig:
     use_native: bool = True          # use the C++ runtime library when built
     profile: bool = False
     seed: int = 0
+    # MapState table capacities (fixed-capacity SoA tables; the KF table
+    # evicts least-connected keyframes when full — map_state.alloc_keyframe)
+    map_max_kfs: int = 256
+    map_max_points: int = 32768
+    # pipeline-stage partitioning: run local mapping + loop closing in a
+    # separate mapping-host process exchanging MapState deltas
+    # (parallel/pipeline.py — the cross-host form of the reference's
+    # LocalMapping/LoopClosing threads, src/System.cc:99-141)
+    pipeline_stages: bool = False
+    # JAX platform for the mapping-host process; "" inherits the parent's.
+    # On a single-accelerator box the stage must not fight tracking for
+    # the chip, so it defaults to cpu; a real multi-host deployment sets
+    # "" (own chip per host).
+    pipeline_child_platform: str = "cpu"
 
 
 @dataclass(frozen=True)
@@ -364,6 +385,12 @@ def load_yaml(path: str, base: Optional[SystemConfig] = None) -> SystemConfig:
         set_init_position_by_points=(
             float(get("Object.EbSetInitPositionByPoints", 1)) > 0
         ),
+        # extension key: the reference hard-codes this switch as a local
+        # `int temp = 0/1` (src/Tracking.cc:2384-2412)
+        use_offline_flow=bool(
+            int(get("Object.UseOfflineFlow",
+                    int(cfg.objects.use_offline_flow)))
+        ),
         init_min_features=int(
             get("Object.EnInitDetObjORBFeaturesNum", cfg.objects.init_min_features)
         ),
@@ -377,6 +404,15 @@ def load_yaml(path: str, base: Optional[SystemConfig] = None) -> SystemConfig:
         weights_path=get("Yolo.weightsPath", cfg.detector.weights_path),
         reid_weights_path=get("DeepSort.weightsPath", cfg.detector.reid_weights_path),
     )
+    # extension key (no reference analog — the reference hard-codes 500,
+    # src/Tracking.cc:2842, which is disproportionate at small geometries)
+    tracking = dataclasses.replace(
+        cfg.tracking,
+        min_init_stereo_features=int(
+            get("Tracking.MinInitStereoFeatures",
+                cfg.tracking.min_init_stereo_features)
+        ),
+    )
     return dataclasses.replace(
         cfg,
         slot_mode=int(get("SLOT.MODE", cfg.slot_mode)),
@@ -385,6 +421,7 @@ def load_yaml(path: str, base: Optional[SystemConfig] = None) -> SystemConfig:
         orb=orb,
         objects=objects,
         detector=detector,
+        tracking=tracking,
     )
 
 

@@ -150,6 +150,37 @@ def read_virtual_kitti_objects(pose_file: str, bbox_file: str) -> np.ndarray:
     return np.asarray(rows) if rows else np.zeros((0, 24))
 
 
+def read_virtual_kitti_flow(path: str) -> np.ndarray:
+    """Decode a Virtual KITTI forward-optical-flow PNG -> (H, W, 2) float32
+    per-pixel (du, dv) in pixels (reference
+    Frame::ReadVirtualKittiForwardOpticalFlow, src/Frame.cc:1458-1494).
+
+    Encoding (VKITTI 2): 16-bit RGB where R holds u, G holds v, each mapped
+    as ``2/(2^16-1) * value - 1`` scaled by (W-1)/(H-1); B == 0 marks an
+    invalid pixel (flow forced to zero)."""
+    from pointslot_tpu.datasets.png16 import read_png16
+
+    img = read_png16(path)
+    if img.ndim != 3:
+        raise ValueError(f"{path}: expected RGB flow PNG")
+    h, w = img.shape[:2]
+    scale = 2.0 / (2.0 ** 16 - 1.0)
+    du = (scale * img[:, :, 0].astype(np.float64) - 1.0) * (w - 1)
+    dv = (scale * img[:, :, 1].astype(np.float64) - 1.0) * (h - 1)
+    invalid = img[:, :, 2] == 0
+    flow = np.stack([du, dv], axis=-1).astype(np.float32)
+    flow[invalid] = 0.0
+    return flow
+
+
+def virtual_kitti_flow_path(dataset_dir: str, frame_id: int,
+                            camera: int = 0) -> str:
+    """forwardFlow/Camera_<k>/flow_%05d.png under the sequence folder
+    (reference src/Frame.cc:599-600, :1462)."""
+    return os.path.join(dataset_dir, "forwardFlow", f"Camera_{camera}",
+                        f"flow_{frame_id:05d}.png")
+
+
 def read_mynteye_object_rows(
     path: str,
     dims=(1.6, 1.5, 3.0),
@@ -219,6 +250,22 @@ class KittiTrackingSequence:
                 break
         pose_file = os.path.join(self.root, "pose_gt.txt")
         self.gt_poses = read_kitti_poses(pose_file) if os.path.isfile(pose_file) else None
+        # Virtual KITTI forward optical flow (offline flow tracking mode)
+        self.flow_dir = None
+        for cand in (
+            os.path.join(self.root, "forwardFlow", "Camera_0"),
+            os.path.join(self.root, self.sequence, "forwardFlow", "Camera_0"),
+        ):
+            if os.path.isdir(cand):
+                self.flow_dir = cand
+                break
+
+    def load_flow(self, i: int):
+        """Forward flow map of frame i, or None (reference src/Frame.cc:700)."""
+        if self.flow_dir is None:
+            return None
+        path = os.path.join(self.flow_dir, f"flow_{i:05d}.png")
+        return read_virtual_kitti_flow(path) if os.path.isfile(path) else None
 
     def __len__(self):
         return len(self.frames)

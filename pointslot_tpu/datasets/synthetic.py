@@ -165,9 +165,12 @@ def make_loop_scene(
     n_points: int = 3000,          # unused; API compat
     seed: int = 0,
     radius: float = 6.0,
+    n_objects: int = 0,
 ) -> SyntheticScene:
     """Closed circular trajectory (camera returns to the start) inside a
-    textured room — the loop-closure fixture."""
+    textured room — the loop-closure fixture. With n_objects > 0, textured
+    boxes drive ahead of the camera along the same circle (staying in view
+    for the whole run — the long-sequence object-tracking fixture)."""
     cam = camera or CameraConfig()
     yaw_rate = 2 * np.pi / n_frames
     forward = radius * yaw_rate
@@ -193,9 +196,25 @@ def make_loop_scene(
         centers[:, 2].min() - margin, centers[:, 2].max() + margin,
         seed=seed,
     )
+    objects = []
+    for k in range(n_objects):
+        dims = np.array([1.6, 1.5, 3.0])
+        lead = max(n_frames // 8, 12) + 5 * k  # frames ahead on the circle
+        lateral = -2.5 + 5.0 * (k % 2)
+        obj_poses = []
+        for i in range(total):
+            Tc = poses[min(i + lead, total - 1)]
+            Two = Tc.copy()
+            Two[:3, 3] = Tc[:3, 3] + Tc[:3, :3] @ np.array([lateral, 0.85, 0.0])
+            obj_poses.append(Two)
+        objects.append(
+            SyntheticObject(track_id=k, dims=dims, poses_world=obj_poses,
+                            is_moving=True)
+        )
+
     return SyntheticScene(
         camera=cam, n_frames=total, poses_world=poses,
-        planes=planes, objects=[], seed=seed,
+        planes=planes, objects=objects, seed=seed,
     )
 
 

@@ -50,6 +50,23 @@ class ReIDEmbedder:
         self.variables = params
         self._forward = jax.jit(lambda x: self.model.apply(self.variables, x))
 
+    def load_npz(self, path: str):
+        """Load trained weights (flat tree as written by
+        detect/train_reid.save_npz)."""
+        from pointslot_tpu.detect.train_reid import load_npz
+
+        self.variables = load_npz(path)
+        self._forward = jax.jit(lambda x: self.model.apply(self.variables, x))
+
+    @staticmethod
+    def bundled_weights_path():
+        """Path of the shipped synthetic-identity weights (or None)."""
+        import os
+
+        p = os.path.join(os.path.dirname(__file__), "weights",
+                         "synthetic_reid.npz")
+        return p if os.path.isfile(p) else None
+
     def __call__(self, image: np.ndarray, bboxes: np.ndarray) -> np.ndarray:
         """image (H, W) or (H, W, 3); bboxes (N, 4) xywh -> (N, D) features."""
         if image.ndim == 3:

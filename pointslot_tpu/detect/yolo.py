@@ -37,23 +37,38 @@ class ConvBnSiLU(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    # torch-aligned symmetric padding (p = k//2). XLA "SAME" differs from
+    # torch for stride-2 3x3 convs ((0,1) vs (1,1)); converted ultralytics
+    # checkpoints require torch semantics (see detect/convert.py).
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.torch_pad and self.stride > 1:
+            # odd k: p = k//2 (ultralytics autopad); even k: the yolov5
+            # stem passes p=2 for its 6x6 explicitly (= k//2 - 1), which
+            # also equals what XLA SAME computes for that shape
+            p = self.kernel // 2 if self.kernel % 2 else self.kernel // 2 - 1
+            padding = ((p, p), (p, p))
+        else:
+            padding = "SAME"
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97)(x)
+                    strides=(self.stride, self.stride), use_bias=False,
+                    padding=padding)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3 if self.torch_pad else 1e-5)(x)
         return nn.silu(x)
 
 
 class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBnSiLU(self.features, 1)(x, train)
-        y = ConvBnSiLU(self.features, 3)(y, train)
+        y = ConvBnSiLU(self.features, 1, torch_pad=self.torch_pad)(x, train)
+        y = ConvBnSiLU(self.features, 3, torch_pad=self.torch_pad)(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.features else y
 
 
@@ -63,30 +78,34 @@ class C3(nn.Module):
     features: int
     n: int = 1
     shortcut: bool = True
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = self.features // 2
-        a = ConvBnSiLU(h, 1)(x, train)
+        a = ConvBnSiLU(h, 1, torch_pad=self.torch_pad)(x, train)
         for _ in range(self.n):
-            a = Bottleneck(h, self.shortcut)(a, train)
-        b = ConvBnSiLU(h, 1)(x, train)
-        return ConvBnSiLU(self.features, 1)(jnp.concatenate([a, b], -1), train)
+            a = Bottleneck(h, self.shortcut, torch_pad=self.torch_pad)(a, train)
+        b = ConvBnSiLU(h, 1, torch_pad=self.torch_pad)(x, train)
+        return ConvBnSiLU(self.features, 1, torch_pad=self.torch_pad)(
+            jnp.concatenate([a, b], -1), train)
 
 
 class SPPF(nn.Module):
     """Spatial pyramid pooling (fast) — three chained 5x5 maxpools."""
 
     features: int
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = self.features // 2
-        x = ConvBnSiLU(h, 1)(x, train)
+        x = ConvBnSiLU(h, 1, torch_pad=self.torch_pad)(x, train)
         p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding="SAME")
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding="SAME")
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding="SAME")
-        return ConvBnSiLU(self.features, 1)(jnp.concatenate([x, p1, p2, p3], -1), train)
+        return ConvBnSiLU(self.features, 1, torch_pad=self.torch_pad)(
+            jnp.concatenate([x, p1, p2, p3], -1), train)
 
 
 class YOLOv5(nn.Module):
@@ -95,35 +114,40 @@ class YOLOv5(nn.Module):
     width: int = 16     # base channel count (YOLOv5s uses 32 at width 0.5)
     depth: int = 1
     n_classes: int = N_CLASSES
+    torch_pad: bool = False   # see ConvBnSiLU; True for converted weights
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        w, d = self.width, self.depth
+        w, d, tp = self.width, self.depth, self.torch_pad
         no = 3 * (5 + self.n_classes)
         # backbone
-        x = ConvBnSiLU(w, 6, 2)(x, train)            # /2
-        x = ConvBnSiLU(w * 2, 3, 2)(x, train)        # /4
-        x = C3(w * 2, d)(x, train)
-        x = ConvBnSiLU(w * 4, 3, 2)(x, train)        # /8
-        p3 = C3(w * 4, d * 2)(x, train)
-        x = ConvBnSiLU(w * 8, 3, 2)(p3, train)       # /16
-        p4 = C3(w * 8, d * 3)(x, train)
-        x = ConvBnSiLU(w * 16, 3, 2)(p4, train)      # /32
-        x = C3(w * 16, d)(x, train)
-        p5 = SPPF(w * 16)(x, train)
+        x = ConvBnSiLU(w, 6, 2, torch_pad=tp)(x, train)            # /2
+        x = ConvBnSiLU(w * 2, 3, 2, torch_pad=tp)(x, train)        # /4
+        x = C3(w * 2, d, torch_pad=tp)(x, train)
+        x = ConvBnSiLU(w * 4, 3, 2, torch_pad=tp)(x, train)        # /8
+        p3 = C3(w * 4, d * 2, torch_pad=tp)(x, train)
+        x = ConvBnSiLU(w * 8, 3, 2, torch_pad=tp)(p3, train)       # /16
+        p4 = C3(w * 8, d * 3, torch_pad=tp)(x, train)
+        x = ConvBnSiLU(w * 16, 3, 2, torch_pad=tp)(p4, train)      # /32
+        x = C3(w * 16, d, torch_pad=tp)(x, train)
+        p5 = SPPF(w * 16, torch_pad=tp)(x, train)
         # PAN neck
-        u5 = ConvBnSiLU(w * 8, 1)(p5, train)
+        u5 = ConvBnSiLU(w * 8, 1, torch_pad=tp)(p5, train)
         up4 = jax.image.resize(u5, (u5.shape[0], u5.shape[1] * 2, u5.shape[2] * 2,
                                     u5.shape[3]), "nearest")
-        n4 = C3(w * 8, d, shortcut=False)(jnp.concatenate([up4, p4], -1), train)
-        u4 = ConvBnSiLU(w * 4, 1)(n4, train)
+        n4 = C3(w * 8, d, shortcut=False, torch_pad=tp)(
+            jnp.concatenate([up4, p4], -1), train)
+        u4 = ConvBnSiLU(w * 4, 1, torch_pad=tp)(n4, train)
         up3 = jax.image.resize(u4, (u4.shape[0], u4.shape[1] * 2, u4.shape[2] * 2,
                                     u4.shape[3]), "nearest")
-        n3 = C3(w * 4, d, shortcut=False)(jnp.concatenate([up3, p3], -1), train)
-        d3 = ConvBnSiLU(w * 4, 3, 2)(n3, train)
-        n4b = C3(w * 8, d, shortcut=False)(jnp.concatenate([d3, u4], -1), train)
-        d4 = ConvBnSiLU(w * 8, 3, 2)(n4b, train)
-        n5 = C3(w * 16, d, shortcut=False)(jnp.concatenate([d4, u5], -1), train)
+        n3 = C3(w * 4, d, shortcut=False, torch_pad=tp)(
+            jnp.concatenate([up3, p3], -1), train)
+        d3 = ConvBnSiLU(w * 4, 3, 2, torch_pad=tp)(n3, train)
+        n4b = C3(w * 8, d, shortcut=False, torch_pad=tp)(
+            jnp.concatenate([d3, u4], -1), train)
+        d4 = ConvBnSiLU(w * 8, 3, 2, torch_pad=tp)(n4b, train)
+        n5 = C3(w * 16, d, shortcut=False, torch_pad=tp)(
+            jnp.concatenate([d4, u5], -1), train)
         # heads
         h3 = nn.Conv(no, (1, 1))(n3)
         h4 = nn.Conv(no, (1, 1))(n4b)
@@ -224,8 +248,9 @@ class Detector:
 
     def __init__(self, input_size: int = 640, conf: float = 0.4, iou: float = 0.5,
                  keep_classes: Sequence[int] = (2, 7), seed: int = 0,
-                 params: Optional[Any] = None, width: int = 16):
-        self.model = YOLOv5(width=width)
+                 params: Optional[Any] = None, width: int = 16,
+                 torch_pad: bool = False):
+        self.model = YOLOv5(width=width, torch_pad=torch_pad)
         self.input_size = input_size
         self.conf, self.iou = conf, iou
         self.keep_classes = tuple(keep_classes)
@@ -241,6 +266,24 @@ class Detector:
         heads = self.model.apply(self.variables, x)
         pred = decode_predictions(heads, self.input_size)[0]
         return nms(pred, self.conf, self.iou)
+
+    @classmethod
+    def from_ultralytics(cls, path_or_state_dict, input_size: int = 640,
+                         conf: float = 0.4, iou: float = 0.5,
+                         keep_classes: Sequence[int] = (2, 7)) -> "Detector":
+        """Build a yolov5s-geometry detector from a public ultralytics
+        checkpoint (.pt path or a state_dict mapping) via
+        detect/convert.py. The reference's equivalent is loading the
+        TorchScript export (src/YOLOdetector.cc:13)."""
+        from pointslot_tpu.detect import convert
+
+        if isinstance(path_or_state_dict, (str, bytes)):
+            variables = convert.load_yolov5_pt(path_or_state_dict)
+        else:
+            variables = convert.convert_yolov5_state_dict(path_or_state_dict)
+        return cls(input_size=input_size, conf=conf, iou=iou,
+                   keep_classes=keep_classes, params=variables, width=32,
+                   torch_pad=True)
 
     def load_npz(self, path: str):
         """Load converted weights (flat dict of arrays matching the param

@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--out", default="out")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--use-flow", action="store_true",
+                    help="offline optical-flow object tracking (Virtual "
+                         "KITTI forwardFlow/ maps)")
     args = ap.parse_args(argv)
 
     from pointslot_tpu.config import SystemConfig, load_yaml
@@ -46,6 +49,9 @@ def main(argv=None):
     if args.no_loop:
         cfg = cfg.replace(loop=cfg.loop.__class__(
             **{**cfg.loop.__dict__, "enabled": False}))
+    if args.use_flow:
+        cfg = cfg.replace(objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "use_offline_flow": True}))
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -61,9 +67,9 @@ def main(argv=None):
     system = System(cfg)
     n = 0
     t0 = time.perf_counter()
-    for frame_id, ts, left, right, dets, inst in frames:
+    for frame_id, ts, left, right, dets, inst, flow in frames:
         system.track_stereo(left, right, ts, frame_id,
-                            detections=dets, instance_mask=inst)
+                            detections=dets, instance_mask=inst, flow=flow)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
@@ -100,7 +106,7 @@ def _synthetic_frames(args, cfg):
             frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
             dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
                     for r in frame_rows]
-        yield i, i / cfg.camera.fps, left, right, dets, inst
+        yield i, i / cfg.camera.fps, left, right, dets, inst, None
 
 
 def _kitti_frames(args, cfg):
@@ -108,9 +114,12 @@ def _kitti_frames(args, cfg):
 
     seq = KittiTrackingSequence(args.data, args.sequence)
     ts = seq.timestamps(cfg.camera.fps)
+    use_flow = cfg.objects.use_offline_flow
     for i in range(len(seq)):
         left, right, dets, inst = seq.load(i)
-        yield i, float(ts[i]), left, right, (dets if cfg.slot_mode == 4 else None), inst
+        flow = seq.load_flow(i) if use_flow else None
+        yield (i, float(ts[i]), left, right,
+               (dets if cfg.slot_mode == 4 else None), inst, flow)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,8 @@ _MAP_FIELDS = [
 _TRACK_SCALARS = ["track_id", "last_seen_frame", "last_seen_time", "dynamic",
                   "dyn_votes", "track_ok", "n_inliers"]
 _TRACK_ARRAYS = ["dims", "pt_pos", "pt_desc", "pt_valid", "pt_found",
-                 "pt_visible", "pt_first_okf", "obs"]
+                 "pt_visible", "pt_first_okf", "pt_last_xy", "pt_last_frame",
+                 "obs"]
 _OKF_ARRAYS = ["xy", "level", "desc", "angle", "depth", "u_right", "point_idx",
                "T_co", "T_cw", "bbox"]
 
@@ -34,6 +35,18 @@ def save_checkpoint(path: str, system) -> None:
     for f in _MAP_FIELDS:
         data[f"map/{f}"] = getattr(m, f)
     data["map/next_uid"] = np.int64(m._next_uid)
+
+    # tracker continuation state: enough to resume tracking against the
+    # restored map (the first resumed frame goes through reference-KF
+    # tracking, which needs only ref_kf + the KF tables)
+    tr = system.tracker
+    data["tracker/state"] = np.int64(tr.state)
+    data["tracker/ref_kf"] = np.int64(tr.ref_kf)
+    data["tracker/last_kf_frame_id"] = np.int64(tr.last_kf_frame_id)
+    data["tracker/last_T_cw"] = (
+        tr.last_frame.T_cw if tr.last_frame is not None
+        and tr.last_frame.T_cw is not None else np.eye(4, dtype=np.float32)
+    )
 
     traj = system.tracker.trajectory
     data["traj/frame_id"] = np.asarray([e.frame_id for e in traj], np.int64)
@@ -83,6 +96,23 @@ def load_checkpoint(path: str, system) -> None:
         getattr(m, f)[...] = z[f"map/{f}"]
     m._next_uid = int(z["map/next_uid"])
 
+    if "tracker/state" in z:
+        tr = system.tracker
+        tr.state = int(z["tracker/state"])
+        tr.ref_kf = int(z["tracker/ref_kf"])
+        tr.last_kf_frame_id = int(z["tracker/last_kf_frame_id"])
+        # no per-frame features are persisted: resume without a velocity
+        # model, so the next frame re-acquires via reference-KF tracking
+        tr.velocity = None
+        tr.last_frame = None
+
+    # rebuild the loop-closing BoW database from the restored keyframes
+    if system.loop_closer is not None:
+        db = system.loop_closer.db
+        db.present[:] = False
+        for kf in m.keyframe_ids():
+            db.add(int(kf), m.kf_desc[kf], m.kf_feat_valid[kf])
+
     system.tracker.trajectory = [
         TrajectoryEntry(
             frame_id=int(f), ref_kf=int(r), ref_uid=int(u),
@@ -107,7 +137,8 @@ def load_checkpoint(path: str, system) -> None:
             for s in _TRACK_SCALARS:
                 setattr(t, s, z[f"obj/{i}/{s}"].item())
             for a in _TRACK_ARRAYS:
-                setattr(t, a, z[f"obj/{i}/{a}"].copy())
+                if f"obj/{i}/{a}" in z:   # fields added later stay at defaults
+                    setattr(t, a, z[f"obj/{i}/{a}"].copy())
             frames = z[f"obj/{i}/frames"]
             for k, f in enumerate(frames):
                 t.poses_cf[int(f)] = z[f"obj/{i}/poses_cf"][k]

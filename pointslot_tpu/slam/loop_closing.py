@@ -81,6 +81,7 @@ class LoopCloser:
         self.loops_closed = 0
         self.last_loop_kf = -10 ** 9
         self.on_loop_closed = None  # callback(corrections dict)
+        self.last_gba_stats = None  # set by _global_ba
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int) -> bool:
@@ -485,6 +486,29 @@ class LoopCloser:
             result = distributed_bundle_adjust(prob, mesh, **cam_args)
         else:
             result = local_ba.bundle_adjust(prob, **cam_args)
+
+        # record structure-level improvement for observability/tests: robust
+        # cost of the SAME observation set before vs after the joint solve
+        delta2 = jnp.where(prob.obs_stereo, local_ba.CHI2_STEREO,
+                           local_ba.CHI2_MONO)
+        chi2_in = local_ba._chi2(
+            *local_ba._residuals_only(prob.poses, prob.points, prob,
+                                      **cam_args)[:1],
+            prob.obs_stereo, prob.obs_inv_sigma2)
+        chi2_out = local_ba._chi2(
+            *local_ba._residuals_only(result.poses, result.points, prob,
+                                      **cam_args)[:1],
+            prob.obs_stereo, prob.obs_inv_sigma2)
+        act = prob.obs_valid
+        self.last_gba_stats = {
+            "cost_before": float(jnp.sum(jnp.where(
+                act, local_ba._robust_cost(chi2_in, delta2), 0.0))),
+            "cost_after": float(jnp.sum(jnp.where(
+                act, local_ba._robust_cost(chi2_out, delta2), 0.0))),
+            "n_obs": int(jnp.sum(act)),
+            "n_kfs": len(kf_ids),
+            "n_points": len(pts),
+        }
 
         new_poses = np.asarray(result.poses, np.float64)
         for i, k in enumerate(kf_ids):

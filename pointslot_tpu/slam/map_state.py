@@ -88,14 +88,26 @@ class MapState:
     def alloc_keyframe(self) -> int:
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
-            # table full: evict the least-connected keyframe (not the oldest
-            # — it anchors the gauge) so long sequences degrade gracefully
+            # table full: evict the least-connected keyframe, protecting
+            # (a) the oldest (it anchors the gauge) and (b) the most recent
+            # ones — fresh keyframes start with few covisibility links, and
+            # evicting them collapses the live local map and loses tracking
             valid = self.keyframe_ids()
             oldest = valid[np.argmin(self.kf_frame_id[valid])]
+            # protect at most so many recents that a candidate always remains
+            n_protect = min(max(5, self.max_kfs // 8), max(len(valid) - 2, 0))
+            recent = set(
+                int(k) for k in valid[np.argsort(-self.kf_frame_id[valid])][:n_protect]
+            )
             weights = [
                 (int(self.covisibility_weights(int(k)).sum()), int(k))
-                for k in valid if k != oldest
+                for k in valid if k != oldest and int(k) not in recent
             ]
+            if not weights:   # tiny table: only the gauge anchor is safe
+                weights = [
+                    (int(self.covisibility_weights(int(k)).sum()), int(k))
+                    for k in valid if k != oldest
+                ]
             weights.sort()
             self.remove_keyframe(weights[0][1])
             free = np.nonzero(~self.kf_valid)[0]
@@ -107,8 +119,13 @@ class MapState:
 
     def alloc_points(self, n: int) -> np.ndarray:
         """Allocate up to n point rows (fewer when the table is near full —
-        callers must size their writes to the returned array)."""
-        free = np.nonzero(~self.pt_valid)[0][:n]
+        callers must size their writes to the returned array).
+
+        When ``pt_alloc_range`` is set (pipeline-stage partitioning,
+        parallel/pipeline.py), allocation is confined to that arena so the
+        two hosts never race on a row."""
+        lo, hi = getattr(self, "pt_alloc_range", None) or (0, self.max_points)
+        free = lo + np.nonzero(~self.pt_valid[lo:hi])[0][:n]
         self.pt_valid[free] = True
         return free
 

@@ -162,3 +162,63 @@ def brute_match(
 
     out = jnp.where(ok, best, -1)
     return BruteMatchResult(idx_b_for_a=out, n_matches=jnp.sum(ok.astype(jnp.int32)))
+
+
+class GuidedMatchResult(NamedTuple):
+    point_for_feature: jnp.ndarray  # (N,) int32 point row or -1
+    n_matches: jnp.ndarray          # () int32
+
+
+@partial(jax.jit, static_argnames=("th_desc",))
+def guided_match(
+    pred_xy: jnp.ndarray,     # (M, 2) predicted pixel position per point
+    pred_ok: jnp.ndarray,     # (M,) bool prediction available
+    pt_desc: jnp.ndarray,     # (M, 8) uint32
+    feat_xy: jnp.ndarray,     # (N, 2)
+    feat_desc: jnp.ndarray,   # (N, 8) uint32
+    feat_valid: jnp.ndarray,  # (N,) bool
+    radius: float = 5.0,
+    th_desc: int = 130,
+) -> GuidedMatchResult:
+    """Position-guided point->feature matching: each point carries an
+    externally predicted pixel position (offline optical flow warp of its
+    last observation); candidates are features within `radius` px across
+    ALL pyramid levels, scored by Hamming distance.
+
+    Replaces ORBmatcher::SearchByOfflineOpticalFlowTracking's per-keypoint
+    grid scan (reference src/ORBmatcher.cc:2236-2369: flow lookup ->
+    GetObjectFeaturesInArea(RADIUS_FORDYNAMIC=5, octaves 0-7) -> best
+    descriptor <= TH_HIGH_FORDYNAMIC=130) with one masked distance table;
+    the reference's subsequent PnP-RANSAC inlier gate is the caller's
+    batched pose LM (object_system stage solves)."""
+    M = pred_xy.shape[0]
+    N = feat_xy.shape[0]
+    du = pred_xy[:, 0][:, None] - feat_xy[None, :, 0]
+    dv = pred_xy[:, 1][:, None] - feat_xy[None, :, 1]
+    in_window = (jnp.abs(du) <= radius) & (jnp.abs(dv) <= radius)
+    mask = pred_ok[:, None] & feat_valid[None, :] & in_window
+
+    dist = hamming_table_popcount(pt_desc, feat_desc)
+    dist = jnp.where(mask, dist, 1 << 20)
+
+    best_feat = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best_dist = jnp.take_along_axis(dist, best_feat[:, None], axis=1)[:, 0]
+    matched = best_dist <= th_desc
+
+    # conflict resolution: best point per feature, ties to the lowest row
+    key = jnp.where(matched, best_dist, 1 << 20)
+    per_feat_best = jax.ops.segment_min(key, best_feat, num_segments=N)
+    winner = matched & (key == per_feat_best[best_feat])
+    pid = jnp.arange(M, dtype=jnp.int32)
+    tie_key = jnp.where(winner, pid, M + 1)
+    per_feat_pid = jax.ops.segment_min(tie_key, best_feat, num_segments=N)
+    winner = winner & (pid == per_feat_pid[best_feat])
+
+    point_for_feature = jnp.full((N,), -1, jnp.int32)
+    point_for_feature = point_for_feature.at[
+        jnp.where(winner, best_feat, N)
+    ].set(jnp.where(winner, pid, -1), mode="drop")
+    return GuidedMatchResult(
+        point_for_feature=point_for_feature,
+        n_matches=jnp.sum(winner.astype(jnp.int32)),
+    )

@@ -116,6 +116,18 @@ class ObjectSystem:
 
         self._brute_batched = jax.jit(jax.vmap(one_brute))
 
+        ocfg = self.cfg.objects
+
+        def one_guided(pred_xy, pred_ok, p_desc, f_xy, f_desc, f_valid):
+            r = matchers.guided_match(
+                pred_xy, pred_ok, p_desc, f_xy, f_desc, f_valid,
+                radius=ocfg.flow_match_radius,
+                th_desc=ocfg.flow_match_th_desc,
+            )
+            return r.point_for_feature, r.n_matches
+
+        self._guided_batched = jax.jit(jax.vmap(one_guided))
+
         def one_proj(pt_pos, pt_desc, pt_valid, T, f_xy, f_level, f_desc, f_valid):
             M = pt_pos.shape[0]
             return matchers.project_and_match(
@@ -136,7 +148,12 @@ class ObjectSystem:
         self._solve_batched = jax.jit(solve_batch)
 
     # ------------------------------------------------------------------
-    def process_frame(self, frame, left, right, detections, instance_mask, timestamp):
+    def process_frame(self, frame, left, right, detections, instance_mask,
+                      timestamp, flow=None):
+        """flow: optional (H, W, 2) forward optical flow of the PREVIOUS
+        frame (pixel displacement last->current, Virtual KITTI offline
+        maps) — switches point tracking from brute matching to the
+        flow-guided path (reference SearchByOfflineOpticalFlowTracking)."""
         if not detections:
             return
         dets = [d for d in detections if d.track_id >= 0]
@@ -159,7 +176,8 @@ class ObjectSystem:
                 else:
                     to_track.append((det, fsel, track))
 
-            failed = self._track_objects_batched(to_track, feats, T_cw, timestamp)
+            failed = self._track_objects_batched(to_track, feats, T_cw,
+                                                 timestamp, flow=flow)
             for det, fsel, track in failed:
                 missing_t = timestamp - track.last_seen_time
                 if missing_t > self.cfg.objects.max_missing_dt:
@@ -324,6 +342,8 @@ class ObjectSystem:
                 track.pt_first_okf[rows] = okf_idx
                 track.pt_found[rows] = 1
                 track.pt_visible[rows] = 1
+                track.pt_last_xy[rows] = okf.xy[new_sel]
+                track.pt_last_frame[rows] = okf.frame_id
                 okf.point_idx[new_sel] = rows
                 track.obs[rows, okf_idx] = True
         track.keyframes.append(okf)
@@ -408,9 +428,11 @@ class ObjectSystem:
             valid=jnp.asarray(valid),
         ), valid
 
-    def _track_objects_batched(self, items, feats, T_cw, timestamp):
+    def _track_objects_batched(self, items, feats, T_cw, timestamp,
+                               flow=None):
         """Track every live object of the frame in four batched programs:
-        brute match -> pose LM -> local-map projection -> pose LM.
+        point match (flow-guided when `flow` maps are supplied, brute
+        otherwise) -> pose LM -> local-map projection -> pose LM.
         Returns the list of (det, fsel, track) that failed."""
         if not items:
             return []
@@ -465,6 +487,42 @@ class ObjectSystem:
         )
         binds = [np.asarray(bind_j[oi]).astype(np.int64)[: len(fsels[oi])]
                  for oi in range(O)]
+
+        if flow is not None:
+            # flow-guided path (SearchByOfflineOpticalFlowTracking analog):
+            # warp each point's last observed pixel by the previous frame's
+            # forward flow and match within a small radius; an object keeps
+            # the guided binding when it yields >= 5 pairs, else it falls
+            # back to the brute result (reference nMinRansacNum fallback,
+            # src/ORBmatcher.cc:2319-2334)
+            H_f, W_f = flow.shape[:2]
+            pred_xy = np.zeros((O_pad, P, 2), np.float32)
+            pred_ok = np.zeros((O_pad, P), bool)
+            for oi, (det, fsel, track) in enumerate(items):
+                anchored = track.pt_valid & (
+                    track.pt_last_frame == det.frame_id - 1
+                )
+                rows = np.nonzero(anchored)[0]
+                if len(rows) == 0:
+                    continue
+                xy = track.pt_last_xy[rows]
+                xi = np.clip(np.round(xy[:, 0]).astype(int), 0, W_f - 1)
+                yi = np.clip(np.round(xy[:, 1]).astype(int), 0, H_f - 1)
+                uv = flow[yi, xi]
+                pred_xy[oi, rows] = xy + uv
+                pred_ok[oi, rows] = True
+            pf_g, n_g = self._guided_batched(
+                jnp.asarray(pred_xy), jnp.asarray(pred_ok),
+                jnp.asarray(pt_desc),
+                jnp.asarray(f_xy), jnp.asarray(f_desc), jnp.asarray(f_valid),
+            )
+            n_g = np.asarray(n_g)
+            for oi in range(O):
+                if int(n_g[oi]) >= 5:
+                    binds[oi] = np.asarray(pf_g[oi]).astype(np.int64)[
+                        : len(fsels[oi])
+                    ]
+                    items[oi][2].flow_tracked_frames += 1
 
         if self.cfg.objects.use_gms:
             # GMS consistency filter on the brute matches, using each
@@ -545,6 +603,10 @@ class ObjectSystem:
             found = bind[bind >= 0]
             track.pt_found[found] += 1
             track.pt_visible[found] += 1
+            # record last observed pixel per point (flow-warp anchor)
+            fidx = np.nonzero(bind >= 0)[0]
+            track.pt_last_xy[bind[fidx]] = feats.xy[fsels[oi][fidx]]
+            track.pt_last_frame[bind[fidx]] = det.frame_id
             if n_inl < self.cfg.objects.min_tracked_points:
                 track.track_ok = False
                 failed.append((det, fsel, track))

@@ -95,6 +95,11 @@ class ObjectTrack:
     pt_found: np.ndarray = None
     pt_visible: np.ndarray = None
     pt_first_okf: np.ndarray = None
+    # last observed pixel of each point + the frame it was seen in — the
+    # anchor for offline-optical-flow warping (the reference reads the
+    # last frame's keypoint positions directly, src/ORBmatcher.cc:2257)
+    pt_last_xy: np.ndarray = None    # (P, 2) float32
+    pt_last_frame: np.ndarray = None  # (P,) int64, -1 = never
 
     keyframes: List[ObjectKeyFrameRec] = field(default_factory=list)
     obs: np.ndarray = None           # (P, MAX_OKF) point-in-objkf incidence
@@ -112,6 +117,7 @@ class ObjectTrack:
     dyn_votes: int = 0               # consecutive same-direction votes
     track_ok: bool = False
     n_inliers: int = 0
+    flow_tracked_frames: int = 0     # frames matched via offline-flow warp
     # bumped on wholesale table resets (re-init) so an in-flight async BA
     # solve built against the old tables is discarded at write-back
     epoch: int = 0
@@ -125,6 +131,8 @@ class ObjectTrack:
         self.pt_found = np.zeros(P, np.int32)
         self.pt_visible = np.zeros(P, np.int32)
         self.pt_first_okf = np.full(P, -1, np.int32)
+        self.pt_last_xy = np.zeros((P, 2), np.float32)
+        self.pt_last_frame = np.full(P, -1, np.int64)
         self.obs = np.zeros((P, self.MAX_OKF), bool)
 
     # ------------------------------------------------------------------

@@ -30,13 +30,37 @@ class System:
         self.frontend = StereoFrontend(
             cam.height, cam.width, cam.fx, cam.bf, self.cfg.orb
         )
-        self.map = MapState()
+        self.map = MapState(
+            max_kfs=self.cfg.runtime.map_max_kfs,
+            max_points=self.cfg.runtime.map_max_points,
+        )
         self.tracker = CameraTracker(self.cfg, self.map)
         self.local_mapper = LocalMapper(self.cfg, self.map)
         self.tracker.new_kf_callback = self._on_new_keyframe
         self.tracker.reset_callback = self._on_reset
         self.loop_closer = None
-        if self.cfg.loop.enabled:
+        self._pipeline = None
+        if self.cfg.runtime.pipeline_stages:
+            # cross-host stage partitioning: local mapping + loop closing
+            # run on the mapping-host process (parallel/pipeline.py);
+            # tracking keeps the LOW half of the point arena and a local
+            # BoW database for relocalization only
+            self.map.pt_alloc_range = (0, self.map.max_points // 2)
+            if self.cfg.loop.enabled:
+                from pointslot_tpu.slam.loop_closing import (
+                    KeyFrameDatabase, Relocalizer,
+                )
+                from pointslot_tpu.vocab.bow import (
+                    load_orb_vocab_text, train_default_vocab,
+                )
+
+                vocab = (load_orb_vocab_text(self.cfg.loop.vocab_path)
+                         if self.cfg.loop.vocab_path else train_default_vocab())
+                self._reloc_db = KeyFrameDatabase(vocab, self.map.max_kfs)
+                self.tracker.relocalizer = Relocalizer(
+                    self.cfg, self.map, self._reloc_db
+                )
+        elif self.cfg.loop.enabled:
             from pointslot_tpu.slam.loop_closing import LoopCloser, Relocalizer
             from pointslot_tpu.vocab.bow import (
                 load_orb_vocab_text, train_default_vocab,
@@ -60,7 +84,11 @@ class System:
         self.map_lock = threading.RLock()
         self._mapping_queue = _queue.Queue()
         self._mapping_thread = None
-        if self.cfg.runtime.async_mapping:
+        if self.cfg.runtime.pipeline_stages:
+            from pointslot_tpu.parallel.pipeline import PipelineMapping
+
+            self._pipeline = PipelineMapping(self)
+        elif self.cfg.runtime.async_mapping:
             self._mapping_thread = threading.Thread(
                 target=self._mapping_worker, daemon=True
             )
@@ -92,11 +120,16 @@ class System:
             if det_cfg.weights_path:
                 self.detector.load_npz(det_cfg.weights_path)
             embedder = ReIDEmbedder(feature_dim=det_cfg.reid_feature_dim)
+            reid_path = (det_cfg.reid_weights_path
+                         or ReIDEmbedder.bundled_weights_path())
+            if reid_path:
+                embedder.load_npz(reid_path)
             self.mot = DeepSort(det_cfg, embedder=embedder)
         # mode 2: manual-ROI template tracking; mode 1 sub-mode DynaSLAM
         # carries dynamic-region masks with the same tracker when per-frame
         # masks are unavailable (reference src/Tracking.cc:127-139)
         self.roi_tracker = None
+        self._prev_flow = None   # last frame's forward flow (offline mode)
         if self.cfg.slot_mode == SLOTMode.MANUAL_TRACKING or (
             self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM
             and self.cfg.dynaslam_mode == 1
@@ -112,7 +145,13 @@ class System:
 
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf: int):
-        if self._mapping_thread is not None:
+        if self._pipeline is not None:
+            if getattr(self, "_reloc_db", None) is not None:
+                self._reloc_db.add(
+                    kf, self.map.kf_desc[kf], self.map.kf_feat_valid[kf]
+                )
+            self._pipeline.on_new_keyframe(kf)
+        elif self._mapping_thread is not None:
             self._mapping_queue.put(("camera", kf))
         else:
             self._process_keyframe_sync(kf)
@@ -175,11 +214,15 @@ class System:
 
     # ------------------------------------------------------------------
     def track_stereo(self, left, right, timestamp: float, frame_id: int,
-                     detections=None, instance_mask=None):
+                     detections=None, instance_mask=None, flow=None):
         """Per-frame entry point (reference System::TrackStereo).
 
         detections / instance_mask feed the object pipeline in SLOT modes
-        2/3/4; mode 1 uses the mask to suppress dynamic features.
+        2/3/4; mode 1 uses the mask to suppress dynamic features. flow is
+        this frame's (H, W, 2) FORWARD optical flow map (Virtual KITTI
+        offline mode) — the next frame's object tracking warps point
+        anchors through it (the reference stores it on the Frame,
+        src/Frame.cc:700, and reads LastFrame's, src/ORBmatcher.cc:2268).
         """
         t0 = time.perf_counter()
         left = np.asarray(left)
@@ -271,6 +314,10 @@ class System:
             yi = np.clip(np.round(frame.xy[:, 1]).astype(int), 0, gate.shape[0] - 1)
             xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, gate.shape[1] - 1)
             frame.valid = frame.valid & np.asarray(gate)[yi, xi]
+        if self._pipeline is not None:
+            # fold in any finished mapping-host work (BA poses, culls,
+            # loop corrections) before tracking against the map
+            self._pipeline.poll()
         with self.profiler.timer("tracking"), self.map_lock:
             self.tracker.track(frame)
         self.timestamps.append(timestamp)
@@ -278,8 +325,11 @@ class System:
         if self._object_system is not None and frame.T_cw is not None:
             with self.profiler.timer("objects"):
                 self._object_system.process_frame(
-                    frame, left, right, detections, instance_mask, timestamp
+                    frame, left, right, detections, instance_mask, timestamp,
+                    flow=self._prev_flow if self.cfg.objects.use_offline_flow
+                    else None,
                 )
+        self._prev_flow = flow
 
         self.frame_times.append(time.perf_counter() - t0)
         return frame
@@ -415,6 +465,10 @@ class System:
         out = {"median_track_s": med, "mean_track_s": mean,
                "n_keyframes": self.map.n_keyframes(),
                "n_points": self.map.n_points()}
+        if self._pipeline is not None:
+            self._pipeline.shutdown()
+            out.update(self._pipeline.stats())
+            self._pipeline = None
         if self.profiler.enabled:
             out["profile"] = self.profiler.summary()
         return out

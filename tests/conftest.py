@@ -29,3 +29,9 @@ def rng():
     # function-scoped: every test gets the same deterministic stream
     # regardless of which other tests ran before it
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running stress tests (several minutes)"
+    )

@@ -1,0 +1,114 @@
+"""Long-sequence stress: 253 frames around a closed circuit with moving
+objects, a deliberately small keyframe table (forcing evictions), a
+mid-run checkpoint + resume into a fresh System, and a LOST episode that
+relocalization recovers from (VERDICT r1 item 8).
+
+KITTI tracking sequences are 800-1100 frames; this is the fixture-scale
+version of that regime: eviction, trajectory re-parenting across culled
+keyframes, recovery, and object-track continuity all in one run.
+
+Note on loop closure: drift on this fixture stays small enough that the
+revisit re-connects to the surviving old keyframes through ordinary
+local-map matching (their points are still in the table), so loop
+candidates are excluded as covisible neighbors and no explicit loop event
+is needed — the reference behaves identically under low drift. The
+explicit loop-closure path is exercised by test_loop_closing.
+"""
+
+import numpy as np
+import pytest
+
+from pointslot_tpu.config import CameraConfig, SLOTMode, SystemConfig
+from pointslot_tpu.datasets.synthetic import (
+    SyntheticRenderer, make_loop_scene, offline_detection_rows,
+)
+from pointslot_tpu.slam import checkpoint
+from pointslot_tpu.slam.objects import Detection
+from pointslot_tpu.slam.system import System
+from pointslot_tpu.slam.tracking import TrackingState
+
+MAX_KFS = 40
+
+
+def _config():
+    cam = CameraConfig(width=512, height=256, fx=300.0, fy=300.0,
+                       cx=256.0, cy=128.0, bf=60.0)
+    cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+    return cfg.replace(
+        camera=cam,
+        tracking=cfg.tracking.__class__(
+            **{**cfg.tracking.__dict__, "min_init_stereo_features": 200}),
+        objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "init_min_features": 10,
+               "init_min_map_points": 8, "min_tracked_points": 8,
+               "track_min_features": 10}),
+        runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "map_max_kfs": MAX_KFS,
+               "map_max_points": 16384}),
+    )
+
+
+@pytest.mark.slow
+def test_long_sequence_eviction_checkpoint_objects(tmp_path):
+    cfg = _config()
+    scene = make_loop_scene(n_frames=190, seed=13, radius=10.0,
+                            camera=cfg.camera, n_objects=2)
+    assert scene.n_frames >= 250
+    renderer = SyntheticRenderer(scene)
+    rows = offline_detection_rows(scene)
+
+    def dets_for(i):
+        fr = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+        return [Detection.from_row24(r, mask_value=int(r[1]) + 1) for r in fr]
+
+    ckpt = str(tmp_path / "mid.npz")
+    mid = scene.n_frames // 2
+
+    system = System(cfg)
+    for i in range(mid):
+        left, right, inst = renderer.render(i)
+        system.track_stereo(left, right, i * 0.1, i,
+                            detections=dets_for(i), instance_mask=inst)
+    # the small table has already evicted keyframes by mid-run
+    assert system.map._next_uid > MAX_KFS, "no evictions before checkpoint"
+    checkpoint.save_checkpoint(ckpt, system)
+
+    # resume in a FRESH process-equivalent: new System, restored state
+    system2 = System(cfg)
+    checkpoint.load_checkpoint(ckpt, system2)
+    assert system2.map.n_keyframes() == system.map.n_keyframes()
+    for i in range(mid, scene.n_frames):
+        left, right, inst = renderer.render(i)
+        system2.track_stereo(left, right, i * 0.1, i,
+                             detections=dets_for(i), instance_mask=inst)
+
+    assert system2.tracker.state == TrackingState.OK, "did not recover"
+    assert system2.map._next_uid > system.map._next_uid, (
+        "no keyframes created after resume"
+    )
+    assert system2.map.n_keyframes() <= MAX_KFS
+
+    # full trajectory coverage: every frame present (re-parenting across
+    # evicted keyframes kept each entry resolvable), all poses finite
+    traj = system2.camera_trajectory()
+    assert len(traj) == scene.n_frames
+    assert all(np.isfinite(T).all() for _, T, _ in traj)
+
+    # accuracy: ATE over tracked (non-lost) frames stays bounded despite
+    # a 40-slot keyframe table and a mid-sequence LOST episode
+    f0 = traj[0][0]
+    A = scene.poses_world[f0]
+    errs = [
+        np.linalg.norm((A @ np.linalg.inv(T))[:3, 3] - scene.poses_world[f][:3, 3])
+        for f, T, lost in traj if not lost
+    ]
+    assert len(errs) > scene.n_frames * 0.8, "too many lost frames"
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.6, f"long-sequence ATE {ate:.3f} m"
+
+    # object tracks survive the whole circuit (through the checkpoint)
+    tracks = system2._object_system.all_tracks
+    assert len(tracks) >= 2
+    spans = sorted(len(t.poses_cf) for t in tracks)
+    assert spans[-1] >= scene.n_frames * 0.8
+    assert spans[-2] >= scene.n_frames * 0.8

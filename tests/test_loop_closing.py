@@ -31,8 +31,15 @@ def test_loop_detected_on_circular_trajectory():
         for f, T, _ in traj
     ]
     ate = float(np.sqrt(np.mean(np.square(errs))))
-    assert ate < 0.5, f"ATE after loop closure {ate:.3f} m"
-    assert errs[-1] < 0.5, f"end-point error after loop closure: {errs[-1]:.3f} m"
+    assert ate < 0.2, f"ATE after loop closure {ate:.3f} m"
+    assert errs[-1] < 0.2, f"end-point error after loop closure: {errs[-1]:.3f} m"
+    # global BA ran (on by default, reference src/LoopClosing.cc:648) and
+    # improved the map: robust reprojection cost of the same observation
+    # set must drop across the joint solve
+    stats = system.loop_closer.last_gba_stats
+    assert stats is not None, "global BA did not run"
+    assert stats["cost_after"] < stats["cost_before"], stats
+    assert stats["n_kfs"] == len(system.map.keyframe_ids())
 
 
 def test_relocalization_after_blackout():
