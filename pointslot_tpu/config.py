@@ -159,6 +159,11 @@ class ObjectConfig:
     # src/ObjectLocalMapping.cpp:375)
     ba_window_kf_ids: int = 120
     ba_min_covisible_kfs: int = 8
+    # SE(3) constant-velocity priors between consecutive object KFs in the
+    # BA window (live form of EdgeMotionModel/EdgeSmoothTerm, reference
+    # include/g2o_Object.h:361-405); 0 = off, matching the reference's
+    # live surface (those edges only appear in its declared-unused solvers)
+    ba_motion_prior_weight: float = 0.0
     vehicle_axle_distance: float = 0.15
     # GMS grid-statistics filtering of object brute matches (the reference's
     # SearchByBruceMatchingWithGMS path)

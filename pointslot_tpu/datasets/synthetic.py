@@ -295,7 +295,8 @@ class SyntheticRenderer:
         for plane in scene.planes:
             denom = dirs_w @ plane.normal                    # (H, W)
             num = (plane.origin - C) @ plane.normal
-            t = np.where(np.abs(denom) > 1e-9, num / denom, -1.0)
+            denom_safe = np.where(np.abs(denom) > 1e-9, denom, 1.0)
+            t = np.where(np.abs(denom) > 1e-9, num / denom_safe, -1.0)
             hit = t > 0.25
             t_safe = np.where(hit, t, 1e9)
             closer = hit & (t_safe < depth)

@@ -165,10 +165,10 @@ def _mapping_stage_main(cfg, conn):
     if cfg.loop.enabled:
         from pointslot_tpu.slam.loop_closing import LoopCloser
         from pointslot_tpu.vocab.bow import (
-            load_orb_vocab_text, train_default_vocab,
+            load_vocab, train_default_vocab,
         )
 
-        vocab = (load_orb_vocab_text(cfg.loop.vocab_path)
+        vocab = (load_vocab(cfg.loop.vocab_path)
                  if cfg.loop.vocab_path else train_default_vocab())
         loop_closer = LoopCloser(cfg, m, vocab)
 

@@ -690,8 +690,8 @@ class ObjectSystem:
                 ba_inputs = self._build_object_ba(track, okf_idx)
         if ba_inputs is None:
             return
-        prob, slot_edge, meta = ba_inputs
-        result = local_ba.bundle_adjust(prob, **self._cam_args)
+        prob, slot_edge, meta, priors = ba_inputs
+        result = local_ba.bundle_adjust(prob, **self._cam_args, priors=priors)
         self.ba_calls += 1
         import threading
 
@@ -814,9 +814,32 @@ class ObjectSystem:
             P_cap=P_cap, L_cap=L_cap, K=self.cfg.ba.max_obs_per_point,
             dof_mask=dof,
         )
+        priors = self._build_motion_priors(track, kfs)
         meta = dict(kfs=kfs, fixed=fixed, pts=pts, window_ids=window_ids,
                     e_pose=e_pose, e_point=e_point)
-        return prob, slot_edge, meta
+        return prob, slot_edge, meta, priors
+
+    def _build_motion_priors(self, track: ObjectTrack, kfs):
+        """Constant-velocity SE(3) priors between consecutive window KFs
+        (the live form of the reference's motion-model/smoothness edges,
+        include/g2o_Object.h:361-405): predicted T_co(j) =
+        T_cw(j) V^gap T_wo(i), weighted by objects.ba_motion_prior_weight.
+        Off (None) at weight 0, matching the reference's live surface."""
+        w = self.cfg.objects.ba_motion_prior_weight
+        if w <= 0 or track.velocity_world is None or len(kfs) < 2:
+            return None
+        idx, T_rel, weights = [], [], []
+        for ri in range(1, len(kfs)):
+            a, b = kfs[ri - 1], kfs[ri]
+            gap = max(int(b.frame_id - a.frame_id), 1)
+            V = np.linalg.matrix_power(track.velocity_world, gap)
+            T_rel.append(b.T_cw @ V @ np.linalg.inv(a.T_cw))
+            idx.append([ri - 1, ri])
+            weights.append(w / gap)
+        return local_ba.build_motion_priors(
+            idx=np.asarray(idx), T_rel=np.stack(T_rel).astype(np.float32),
+            weight=np.asarray(weights), R_cap=32,
+        )
 
     def _apply_object_ba(self, track: ObjectTrack, result, slot_edge, meta):
         """Write the solve back onto the track tables (object lock held)."""

@@ -51,10 +51,10 @@ class System:
                     KeyFrameDatabase, Relocalizer,
                 )
                 from pointslot_tpu.vocab.bow import (
-                    load_orb_vocab_text, train_default_vocab,
+                    load_vocab, train_default_vocab,
                 )
 
-                vocab = (load_orb_vocab_text(self.cfg.loop.vocab_path)
+                vocab = (load_vocab(self.cfg.loop.vocab_path)
                          if self.cfg.loop.vocab_path else train_default_vocab())
                 self._reloc_db = KeyFrameDatabase(vocab, self.map.max_kfs)
                 self.tracker.relocalizer = Relocalizer(
@@ -63,11 +63,11 @@ class System:
         elif self.cfg.loop.enabled:
             from pointslot_tpu.slam.loop_closing import LoopCloser, Relocalizer
             from pointslot_tpu.vocab.bow import (
-                load_orb_vocab_text, train_default_vocab,
+                load_vocab, train_default_vocab,
             )
 
             if self.cfg.loop.vocab_path:
-                vocab = load_orb_vocab_text(self.cfg.loop.vocab_path)
+                vocab = load_vocab(self.cfg.loop.vocab_path)
             else:
                 vocab = train_default_vocab()
             self.loop_closer = LoopCloser(self.cfg, self.map, vocab)

@@ -22,6 +22,7 @@ from pointslot_tpu.config import SystemConfig
 from pointslot_tpu.slam import matchers
 from pointslot_tpu.slam.map_state import MapState
 from pointslot_tpu.solvers import pose_opt
+from pointslot_tpu.utils.profiling import PROFILER
 
 
 class TrackingState:
@@ -262,6 +263,8 @@ class CameraTracker:
         if len(fsel) < 10:
             return 0
         cap = 1500
+        if len(fsel) > cap:
+            PROFILER.count("pose_opt_edges_dropped", len(fsel) - cap)
         edges_pts = m.pt_pos[bind[fsel]].astype(np.float32)
         obs = np.stack(
             [frame.xy[fsel, 0], frame.xy[fsel, 1], frame.u_right[fsel]], axis=1
@@ -379,8 +382,6 @@ class CameraTracker:
         not_counted = found[~np.isin(found, local_pts)]
         m.pt_visible[not_counted] += 1
         self.n_matches_inliers = n
-        from pointslot_tpu.utils.profiling import PROFILER
-
         PROFILER.count("frames_tracked")
         PROFILER.count("inliers_total", n)
         return n >= self.cfg.tracking.min_inliers_local_map

@@ -68,6 +68,37 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray        # () final robust cost
 
 
+class MotionPriors(NamedTuple):
+    """Optional SE(3) relative-pose factors between pose pairs — the live
+    form of the reference's motion-model/smoothness edges (EdgeMotionModel /
+    EdgeSmoothTerm, reference include/g2o_Object.h:361-405): pose j is
+    predicted from pose i by T_rel (e.g. the object's constant-velocity
+    model), residual = log(T_j (T_rel T_i)^-1), weight = information scale.
+    """
+
+    idx: jnp.ndarray     # (R, 2) int32 (i_prev, j_cur) pose indices
+    T_rel: jnp.ndarray   # (R, 4, 4) predicted T_j<-i
+    weight: jnp.ndarray  # (R,) information scale (per-factor)
+    valid: jnp.ndarray   # (R,) bool
+
+
+def build_motion_priors(idx: np.ndarray, T_rel: np.ndarray,
+                        weight: np.ndarray, R_cap: int) -> MotionPriors:
+    """Pad flat prior arrays to a fixed capacity."""
+    idx = np.asarray(idx, np.int32).reshape(-1, 2)
+    n = min(len(idx), R_cap)
+    pidx = np.zeros((R_cap, 2), np.int32)
+    pT = np.tile(np.eye(4, dtype=np.float32), (R_cap, 1, 1))
+    pw = np.zeros(R_cap, np.float32)
+    pv = np.zeros(R_cap, bool)
+    pidx[:n] = idx[:n]
+    pT[:n] = np.asarray(T_rel, np.float32).reshape(-1, 4, 4)[:n]
+    pw[:n] = np.asarray(weight, np.float32).reshape(-1)[:n]
+    pv[:n] = True
+    return MotionPriors(jnp.asarray(pidx), jnp.asarray(pT),
+                        jnp.asarray(pw), jnp.asarray(pv))
+
+
 # ---------------------------------------------------------------------------
 # host-side problem builder: flat edge lists -> point-major slots
 # ---------------------------------------------------------------------------
@@ -262,6 +293,35 @@ def _robust_cost(chi2, delta2):
     return jnp.where(chi2 <= delta2, chi2, lin)
 
 
+def _prior_residual(poses, priors: MotionPriors):
+    """(R, 6) residuals log(T_j (T_rel T_i)^-1) of the motion priors."""
+    Ti = _gather_rows(poses, priors.idx[:, 0])
+    Tj = _gather_rows(poses, priors.idx[:, 1])
+    pred = priors.T_rel @ Ti
+    err = Tj @ jnp.linalg.inv(pred)
+    return jax.vmap(se3.se3_log)(err)
+
+
+def _prior_terms(poses, priors: MotionPriors, P: int):
+    """Gauss-Newton pieces of the motion priors: per-factor residuals r,
+    Jacobians (J_i, J_j) wrt the two poses' tangent updates, weights."""
+
+    def one(Ti, Tj, Trel):
+        def r_of(xi):
+            xi_i, xi_j = xi[:6], xi[6:]
+            pred = Trel @ se3.se3_retract(Ti, xi_i)
+            return se3.se3_log(se3.se3_retract(Tj, xi_j) @ jnp.linalg.inv(pred))
+
+        J = jax.jacfwd(r_of)(jnp.zeros(12, jnp.float32))    # (6, 12)
+        return r_of(jnp.zeros(12, jnp.float32)), J[:, :6], J[:, 6:]
+
+    Ti = _gather_rows(poses, priors.idx[:, 0])
+    Tj = _gather_rows(poses, priors.idx[:, 1])
+    r, Ji, Jj = jax.vmap(one)(Ti, Tj, priors.T_rel)
+    w = jnp.where(priors.valid, priors.weight, 0.0)
+    return r, Ji, Jj, w
+
+
 # ---------------------------------------------------------------------------
 # the solver
 # ---------------------------------------------------------------------------
@@ -277,6 +337,7 @@ def bundle_adjust(
     stage_iters: tuple = (5, 10),
     use_huber_stages: tuple = (True, False),
     axis_name=None,
+    priors: Optional[MotionPriors] = None,
 ) -> BAResult:
     """Two-stage LM Schur BA with an outlier pass between stages, mirroring
     the reference's 5+10-iteration protocol (src/Optimizer.cc:996-1035).
@@ -284,6 +345,11 @@ def bundle_adjust(
     With ``axis_name`` set (running inside shard_map with the L axis
     sharded), pose-coupled reductions are psum'd over that axis and the
     solve is the distributed engine — same math, same staging, same gates.
+
+    ``priors`` adds SE(3) relative-pose motion factors between pose pairs
+    (reference EdgeMotionModel/EdgeSmoothTerm) into the reduced camera
+    system. In distributed mode the priors are replicated on every shard
+    and added outside the psum (no double counting).
     """
     P = prob.poses.shape[0]
     L = prob.points.shape[0]
@@ -298,7 +364,12 @@ def bundle_adjust(
         res, behind = _residuals_only(poses, points, prob, fx, fy, cx, cy, bf)
         chi2 = _chi2(res, prob.obs_stereo, prob.obs_inv_sigma2)
         per = _robust_cost(chi2, delta2) if robust else chi2
-        return ps(jnp.sum(jnp.where(active & ~behind, per, 0.0)))
+        cost = ps(jnp.sum(jnp.where(active & ~behind, per, 0.0)))
+        if priors is not None:
+            r = _prior_residual(poses, priors)
+            w = jnp.where(priors.valid, priors.weight, 0.0)
+            cost = cost + jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return cost
 
     def lm_iterations(poses, points, active, n_iters, robust):
         def body(_, carry):
@@ -348,6 +419,23 @@ def bundle_adjust(
                 prob.point_valid[:, None, None], Hll_inv, jnp.zeros_like(Hll_inv)
             )
 
+            # motion priors: pose-pose factors straight into the reduced
+            # system (diag blocks into Hpp so damping sees them)
+            if priors is not None:
+                pr, Ji, Jj, pw = _prior_terms(poses, priors, P)
+                dof_i = _gather_rows(prob.dof_mask, priors.idx[:, 0])
+                dof_j = _gather_rows(prob.dof_mask, priors.idx[:, 1])
+                Ji = Ji * dof_i[:, None, :]
+                Jj = Jj * dof_j[:, None, :]
+                Jiw = Ji * pw[:, None, None]
+                Jjw = Jj * pw[:, None, None]
+                ii, jj = priors.idx[:, 0], priors.idx[:, 1]
+                Hpp = Hpp.at[ii].add(jnp.einsum("rki,rkj->rij", Jiw, Ji))
+                Hpp = Hpp.at[jj].add(jnp.einsum("rki,rkj->rij", Jjw, Jj))
+                bp = bp.at[ii].add(jnp.einsum("rki,rk->ri", Jiw, pr))
+                bp = bp.at[jj].add(jnp.einsum("rki,rk->ri", Jjw, pr))
+                H_ij = jnp.einsum("rki,rkj->rij", Jiw, Jj)           # (R, 6, 6)
+
             # reduced camera system
             W2 = jnp.einsum("lpij,ljk->lpik", U, Hll_inv)            # (L, P, 6, 3)
             S_cross = ps(jnp.einsum("laik,lbjk->abij", W2, U))       # (P, P, 6, 6)
@@ -357,6 +445,9 @@ def bundle_adjust(
             S = -S_cross
             S = S.at[jnp.arange(P), jnp.arange(P)].add(Hpp_d)
             b_red = bp - ps(jnp.einsum("lpij,lj->pi", W2, bl))       # (P, 6)
+            if priors is not None:
+                S = S.at[ii, jj].add(H_ij)
+                S = S.at[jj, ii].add(jnp.swapaxes(H_ij, -1, -2))
 
             # flatten to (6P, 6P), pin fixed/invalid poses to identity rows
             free = (

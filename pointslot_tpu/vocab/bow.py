@@ -159,6 +159,63 @@ def train_default_vocab(seed: int = 0, n_words: int = 512,
     return vocab
 
 
+def load_vocab(path: str) -> BinaryVocabulary:
+    """Load a DBoW2 vocabulary by format: .bin/.gz binary layout (the file
+    the reference ships and loads at src/System.cc:79), anything else the
+    text export."""
+    if path.endswith(".bin"):
+        return load_orb_vocab_binary(path)
+    return load_orb_vocab_text(path)
+
+
+def load_orb_vocab_binary(path: str) -> BinaryVocabulary:
+    """Load a DBoW2 binary vocabulary (ORBvoc.bin — the format the reference
+    loads at startup, src/System.cc:79 via TemplatedVocabulary::
+    loadFromBinaryFile, Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1343).
+
+    Layout: 24-byte header (u32 nb_nodes, u32 size_node, i32 k, i32 L,
+    i32 scoring, i32 weighting), then nb_nodes fixed-size records of
+    size_node bytes: i32 parent | 32 descriptor bytes | f32 weight |
+    u8 is_leaf. Only the leaves (words) are kept — the flat MXU lookup
+    replaces the k^L tree descent."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < 24:
+        raise ValueError(f"{path}: truncated vocabulary header")
+    nb_nodes, size_node = np.frombuffer(raw[:8], np.uint32)
+    if size_node < 41:
+        raise ValueError(f"{path}: node record too small ({size_node} B)")
+    body = raw[24 : 24 + int(nb_nodes) * int(size_node)]
+    if len(body) < int(nb_nodes) * int(size_node):
+        raise ValueError(f"{path}: expected {nb_nodes} nodes, file truncated")
+    rec = np.frombuffer(body, np.uint8).reshape(int(nb_nodes), int(size_node))
+    desc = rec[:, 4:36]
+    weight = rec[:, 36:40].copy().view(np.float32).ravel()
+    is_leaf = rec[:, 40] != 0
+    if not is_leaf.any():
+        raise ValueError(f"{path}: vocabulary has no leaf words")
+    words = np.ascontiguousarray(desc[is_leaf]).view(np.uint32)
+    return BinaryVocabulary(words, weight[is_leaf].astype(np.float32))
+
+
+def save_orb_vocab_binary(path: str, parents: np.ndarray, desc: np.ndarray,
+                          weights: np.ndarray, is_leaf: np.ndarray,
+                          k: int = 10, L: int = 6) -> None:
+    """Write the DBoW2 binary layout (testing/interop counterpart of
+    load_orb_vocab_binary; the reference only ships the pre-built file)."""
+    n = len(parents)
+    size_node = 41
+    header = np.array([n, size_node], np.uint32).tobytes()
+    header += np.array([k, L, 0, 0], np.int32).tobytes()
+    rec = np.zeros((n, size_node), np.uint8)
+    rec[:, 0:4] = np.asarray(parents, np.int32)[:, None].view(np.uint8).reshape(n, 4)
+    rec[:, 4:36] = np.asarray(desc, np.uint8).reshape(n, 32)
+    rec[:, 36:40] = np.asarray(weights, np.float32)[:, None].view(np.uint8).reshape(n, 4)
+    rec[:, 40] = np.asarray(is_leaf, bool).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(header + rec.tobytes())
+
+
 def load_orb_vocab_text(path: str) -> BinaryVocabulary:
     """Load a DBoW2 text-format vocabulary (ORBvoc.txt): header 'k L s1 s2'
     then one node per line: parent is_leaf 32-byte-descriptor weight.

@@ -169,3 +169,56 @@ def test_inv3x3_matches_linalg(rng):
     got = np.asarray(_inv3x3(jnp.asarray(A)))
     ref = np.linalg.inv(A)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_motion_priors_constrain_unobserved_pose(rng):
+    """An observation-less pose in the chain is recovered through SE(3)
+    motion priors alone (reference EdgeMotionModel/EdgeSmoothTerm role,
+    include/g2o_Object.h:361-405): priors (0->1), (1->2) with the true
+    relative motion pull the perturbed middle pose back to GT."""
+    poses_true = []
+    T = np.eye(4, dtype=np.float32)
+    step = np.asarray(se3.se3_exp(jnp.asarray([0.1, 0, -0.8, 0, 0.02, 0],
+                                              jnp.float32)))
+    for _ in range(3):
+        poses_true.append(T.copy())
+        T = step @ T
+    pts = np.stack([rng.uniform(-8, 8, 200), rng.uniform(-2, 2, 200),
+                    rng.uniform(6, 25, 200)], axis=1).astype(np.float32)
+
+    e_pose, e_point, e_obs, e_st = [], [], [], []
+    for p in (0, 2):  # middle pose observes NOTHING
+        Tcw = poses_true[p]
+        pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]
+        z = pc[:, 2]
+        u = FX * pc[:, 0] / z + CX
+        v = FY * pc[:, 1] / z + CY
+        for l in np.nonzero(z > 1)[0]:
+            e_pose.append(p); e_point.append(l)
+            e_obs.append([u[l], v[l], u[l] - BF / z[l]]); e_st.append(True)
+
+    xi = rng.normal(size=6).astype(np.float32) * 0.1
+    poses_init = [poses_true[0],
+                  np.asarray(se3.se3_exp(jnp.asarray(xi))) @ poses_true[1],
+                  poses_true[2]]
+    prob, _ = local_ba.build_problem(
+        poses=np.stack(poses_init).astype(np.float32),
+        pose_fixed=[True, False, True],
+        points=pts, e_pose=e_pose, e_point=e_point,
+        e_obs=np.asarray(e_obs, np.float32), e_stereo=e_st,
+        e_inv_sigma2=np.ones(len(e_pose), np.float32),
+        P_cap=4, L_cap=256, K=4,
+    )
+    T10 = poses_true[1] @ np.linalg.inv(poses_true[0])
+    T21 = poses_true[2] @ np.linalg.inv(poses_true[1])
+    priors = local_ba.build_motion_priors(
+        idx=[[0, 1], [1, 2]], T_rel=np.stack([T10, T21]),
+        weight=[100.0, 100.0], R_cap=4,
+    )
+    # without priors the middle pose has no signal and keeps its perturbation
+    r0 = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
+    err0 = np.linalg.norm(np.asarray(r0.poses[1])[:3, 3] - poses_true[1][:3, 3])
+    r1 = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF, priors=priors)
+    err1 = np.linalg.norm(np.asarray(r1.poses[1])[:3, 3] - poses_true[1][:3, 3])
+    assert err1 < 0.01, (err0, err1)
+    assert err1 < err0 * 0.25, (err0, err1)

@@ -124,3 +124,34 @@ def test_pose_graph_closes_loop(rng):
         se3.se3_log(jnp.asarray(np.linalg.inv(M_true) @ M0, jnp.float32))
     )
     assert np.linalg.norm(err0) > 3 * np.linalg.norm(err)
+
+
+def test_binary_vocab_roundtrip(tmp_path, rng):
+    """DBoW2 binary layout (reference TemplatedVocabulary.h:1343): leaves
+    and their weights survive a save/load round-trip; word assignment
+    matches a vocabulary built directly from the leaf descriptors."""
+    from pointslot_tpu.vocab.bow import (
+        load_orb_vocab_binary, load_vocab, save_orb_vocab_binary,
+    )
+
+    n_nodes, n_leaves = 40, 24
+    is_leaf = np.zeros(n_nodes, bool)
+    is_leaf[-n_leaves:] = True
+    desc_u32 = random_desc(rng, n_nodes)
+    desc_u8 = desc_u32.view(np.uint8)
+    parents = np.concatenate([np.zeros(n_nodes - n_leaves, np.int32),
+                              np.arange(n_leaves, dtype=np.int32) % 4])
+    weights = rng.uniform(0.1, 2.0, n_nodes).astype(np.float32)
+    path = str(tmp_path / "voc.bin")
+    save_orb_vocab_binary(path, parents, desc_u8, weights, is_leaf)
+
+    vocab = load_orb_vocab_binary(path)
+    assert vocab.n_words == n_leaves
+    np.testing.assert_array_equal(vocab.words, desc_u32[is_leaf])
+    np.testing.assert_allclose(vocab.idf, weights[is_leaf], rtol=1e-6)
+
+    # extension dispatch + functional use
+    vocab2 = load_vocab(path)
+    q = perturb_desc(rng, desc_u32[is_leaf][:8], 2)
+    _, w = vocab2.transform(q, np.ones(8, bool))
+    assert (np.asarray(w) == np.arange(8)).mean() >= 0.75

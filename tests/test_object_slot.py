@@ -139,3 +139,56 @@ def test_object_tracking_with_gms():
     assert len(objsys.all_tracks) >= 1
     best = max(objsys.all_tracks, key=lambda t: len(t.poses_cf))
     assert len(best.poses_cf) >= 3
+
+
+def test_object_ba_motion_prior():
+    """Mode 4 with SE(3) constant-velocity priors in the object BA window
+    (objects.ba_motion_prior_weight > 0): priors are built from the track's
+    velocity model and the pipeline stays accurate."""
+    scene = make_scene(n_frames=10, n_points=2500, n_objects=2, seed=31,
+                       forward_speed=0.8)
+    renderer = SyntheticRenderer(scene)
+    rows = offline_detection_rows(scene)
+    cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+    cfg = cfg.replace(
+        objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "init_min_features": 10,
+               "init_min_map_points": 8, "min_tracked_points": 8,
+               "track_min_features": 10, "set_init_position_by_points": False,
+               "ba_motion_prior_weight": 50.0, "ba_min_covisible_kfs": 1}),
+        tracking=cfg.tracking.__class__(
+            **{**cfg.tracking.__dict__, "min_init_stereo_features": 350}),
+        loop=cfg.loop.__class__(**{**cfg.loop.__dict__, "enabled": False}),
+    )
+    system = System(cfg)
+    for i in range(10):
+        left, right, inst = renderer.render(i)
+        frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+        dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
+                for r in frame_rows]
+        system.track_stereo(left, right, i * 0.1, i, detections=dets,
+                            instance_mask=inst)
+    system.shutdown()
+    objsys = system._object_system
+    assert len(objsys.all_tracks) >= 1
+    best = max(objsys.all_tracks, key=lambda t: len(t.poses_cf))
+    assert len(best.poses_cf) >= 5
+    # priors really get built once the track has a velocity and >= 2 KFs
+    tracks_with_kfs = [t for t in objsys.all_tracks
+                       if len(t.keyframes) >= 2 and t.velocity_world is not None]
+    assert tracks_with_kfs, "no track reached 2 keyframes with a velocity"
+    pri = objsys._build_motion_priors(
+        tracks_with_kfs[0], tracks_with_kfs[0].keyframes
+    )
+    assert pri is not None
+    assert int(np.asarray(pri.valid).sum()) >= 1
+    # accuracy unchanged vs the no-prior fixture's bar
+    errs = []
+    for track in objsys.all_tracks:
+        gt_obj = next(o for o in scene.objects if o.track_id == track.track_id)
+        for f, T_co in track.poses_cf.items():
+            T_cw = np.linalg.inv(scene.poses_world[f])
+            gt_T_co = T_cw @ gt_obj.poses_world[f]
+            errs.append(np.linalg.norm(T_co[:3, 3] - gt_T_co[:3, 3]))
+    med = float(np.median(errs))
+    assert med < 0.5, f"median object center error with prior {med:.3f} m"
