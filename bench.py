@@ -179,6 +179,21 @@ def main():
     jax.block_until_ready(out)
     fps_fe = n_iters / (time.perf_counter() - t0)
 
+    # batched frontend: single-chip DP throughput for offline runs
+    B = 4
+    lefts = jnp.stack([pairs[i % len(pairs)][0] for i in range(B)])
+    rights = jnp.stack([pairs[i % len(pairs)][1] for i in range(B)])
+    out = fe.batch(lefts, rights)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    nb = max(n_iters // B, 4)
+    for _ in range(nb):
+        out = fe.batch(lefts, rights)
+    jax.block_until_ready(out)
+    fps_fe_batched = nb * B / (time.perf_counter() - t0)
+
+    ba_ms_iter = _bench_ba_ms_per_iter()
+
     print(json.dumps({
         "metric": "e2e_mode4_fps",
         "value": round(fps_mode4, 3),
@@ -188,7 +203,52 @@ def main():
     print(json.dumps({
         "e2e_mode0_fps": round(fps_mode0, 3),
         "frontend_fps": round(fps_fe, 3),
+        "frontend_batched_fps": round(fps_fe_batched, 3),
+        "ba_ms_per_lm_iter": round(ba_ms_iter, 3),
     }), file=sys.stderr)
+
+
+def _bench_ba_ms_per_iter(P=32, L=4096, K=8):
+    """Full 5+10 Schur BA solve at the round-1 caps; ms per LM iteration
+    (BASELINE.md kernel obligation; reference local BA src/Optimizer.cc:1077)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointslot_tpu.solvers import local_ba
+
+    FX, FY, CX, CY, BF = 721.5, 721.5, 609.6, 172.9, 384.4
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    poses[:, 2, 3] = -0.6 * np.arange(P)
+    pts = rng.uniform([-15, -4, 4], [15, 4, 60], size=(L, 3)).astype(np.float32)
+    e_pose = np.repeat(np.arange(L) % (P - 3), 4) % P
+    e_pose = (e_pose + np.tile(np.arange(4), L)).astype(np.int64) % P
+    e_point = np.repeat(np.arange(L), 4)
+    T = poses[e_pose]
+    pc = np.einsum("eij,ej->ei", T[:, :3, :3], pts[e_point]) + T[:, :3, 3]
+    keep = pc[:, 2] > 0.5
+    e_pose, e_point, pc = e_pose[keep], e_point[keep], pc[keep]
+    u = FX * pc[:, 0] / pc[:, 2] + CX + rng.normal(size=len(pc)) * 0.3
+    v = FY * pc[:, 1] / pc[:, 2] + CY + rng.normal(size=len(pc)) * 0.3
+    e_obs = np.stack([u, v, u - BF / pc[:, 2]], axis=1).astype(np.float32)
+    prob, _ = local_ba.build_problem(
+        poses=poses, pose_fixed=[True] + [False] * (P - 1), points=pts,
+        e_pose=e_pose, e_point=e_point, e_obs=e_obs,
+        e_stereo=np.ones(len(e_pose), bool),
+        e_inv_sigma2=np.ones(len(e_pose), np.float32),
+        P_cap=P, L_cap=L, K=K,
+    )
+    args = dict(fx=FX, fy=FY, cx=CX, cy=CY, bf=BF)
+    r = local_ba.bundle_adjust(prob, **args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        r = local_ba.bundle_adjust(prob, **args)
+        jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n / 15 * 1e3
 
 
 if __name__ == "__main__":

@@ -88,6 +88,17 @@ class StereoFrontend:
         )
 
     # ------------------------------------------------------------------
+    def batch(self, lefts, rights) -> StereoFrame:
+        """Process a BATCH of stereo pairs in one dispatch — the single-chip
+        data-parallel path for offline/throughput runs (SURVEY §2d DP; the
+        multi-device variant shards the same vmap over the dp mesh axis,
+        parallel/step.py). Inputs (B, H, W); every output gains a leading
+        batch axis."""
+        if not hasattr(self, "_run_batch"):
+            self._run_batch = jax.jit(jax.vmap(self._run_impl))
+        return StereoFrame(*self._run_batch(jnp.asarray(lefts), jnp.asarray(rights)))
+
+    # ------------------------------------------------------------------
     def _frontend(self, left, right, gate, gate_r=None):
         ext = self.extractor
         cfg = self.config

@@ -126,6 +126,9 @@ class ORBExtractor:
         wx, wy = _moment_weights(48)
         self._wx = jnp.asarray(wx)
         self._wy = jnp.asarray(wy)
+        self._wxy = jnp.stack(
+            [jnp.asarray(wx).reshape(-1), jnp.asarray(wy).reshape(-1)], axis=1
+        )                                                      # (2304, 2)
         self._extract = jax.jit(self._extract_impl)
         self._extract_masked = jax.jit(self._extract_masked_impl)
 
@@ -157,10 +160,17 @@ class ORBExtractor:
         return top, jnp.take(flat_y, ti), jnp.take(flat_x, ti)
 
     def _orientation_from_patches(self, patches: jnp.ndarray):
-        """Intensity-centroid angle from raw (K, 48, 48) patches."""
-        m10 = jnp.einsum("krc,rc->k", patches, self._wx)
-        m01 = jnp.einsum("krc,rc->k", patches, self._wy)
-        return jnp.arctan2(m01, m10)
+        """Intensity-centroid angle from raw (K, 48, 48) patches.
+
+        One (K, 2304) x (2304, 2) matmul on the MXU — the generic
+        `krc,rc->k` einsum form lowers to a slow transpose+reduce chain."""
+        mm = jax.lax.dot_general(
+            patches.reshape(patches.shape[0], -1), self._wxy,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                      # (K, 2)
+        return jnp.arctan2(mm[:, 1], mm[:, 0])
 
     @staticmethod
     def _blur_patches(patches: jnp.ndarray) -> jnp.ndarray:

@@ -53,6 +53,50 @@ def draw_frame(
     return np.asarray(rgb)
 
 
+# the 12 cuboid wireframe edges over the (-,+)^3 corner ordering of
+# object_factors.cuboid_corners (index bit k = sign of axis k)
+_CUBOID_EDGES = [
+    (a, b) for a in range(8) for b in range(a + 1, 8)
+    if bin(a ^ b).count("1") == 1
+]
+
+
+def draw_frame_cuboids(
+    img: np.ndarray,
+    objects: List[Tuple[np.ndarray, np.ndarray, int]],
+    fx: float, fy: float, cx: float, cy: float,
+) -> np.ndarray:
+    """Projected 3D cuboid wireframes of tracked objects, colored by track
+    id (MapDrawer::DrawMapObjectsInCurrentFrame analog, reference
+    src/MapDrawer.cc:322, projection per ObjectState::projectOntoImageBbox).
+
+    objects: list of (T_co (4,4) camera-from-object pose, dims (3,) full
+    extents, track_id)."""
+    from PIL import Image, ImageDraw
+
+    from pointslot_tpu.solvers.object_factors import cuboid_corners
+
+    rgb = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+    im = Image.fromarray(rgb.astype(np.uint8))
+    d = ImageDraw.Draw(im)
+    H, W = rgb.shape[:2]
+    for T_co, dims, tid in objects:
+        corners = np.asarray(cuboid_corners(np.asarray(dims, np.float32)))
+        pc = corners @ np.asarray(T_co)[:3, :3].T + np.asarray(T_co)[:3, 3]
+        if (pc[:, 2] <= 0.1).any():
+            continue
+        u = fx * pc[:, 0] / pc[:, 2] + cx
+        v = fy * pc[:, 1] / pc[:, 2] + cy
+        if (u < -W).all() or (u > 2 * W).all():
+            continue
+        c = _COLORS[tid % len(_COLORS)]
+        for a, b in _CUBOID_EDGES:
+            d.line([float(u[a]), float(v[a]), float(u[b]), float(v[b])],
+                   fill=c, width=2)
+        d.text((float(u.min()) + 3, float(v.min()) + 3), str(tid), fill=c)
+    return np.asarray(im)
+
+
 def draw_map_topdown(
     system,
     size: int = 800,

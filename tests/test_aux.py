@@ -128,3 +128,24 @@ def test_viewer_renders(tmp_path):
     save_png(str(tmp_path / "frame.png"), overlay)
     save_png(str(tmp_path / "map.png"), topdown)
     assert (tmp_path / "map.png").exists()
+
+
+def test_cuboid_overlay():
+    from pointslot_tpu.viz.render import draw_frame_cuboids
+
+    img = np.full((375, 1242), 60, np.uint8)
+    T_co = np.eye(4)
+    T_co[:3, 3] = [1.0, 0.2, 8.0]
+    out = draw_frame_cuboids(
+        img, [(T_co, np.array([1.6, 1.5, 3.9]), 4)],
+        fx=721.5, fy=721.5, cx=609.6, cy=172.9,
+    )
+    assert out.shape == (375, 1242, 3)
+    assert (out != out[0, 0]).any(), "cuboid wireframe not drawn"
+    # behind-camera object draws nothing
+    T_back = np.eye(4); T_back[:3, 3] = [0, 0, -5.0]
+    out2 = draw_frame_cuboids(
+        img, [(T_back, np.array([1.6, 1.5, 3.9]), 4)],
+        fx=721.5, fy=721.5, cx=609.6, cy=172.9,
+    )
+    assert (out2 == np.stack([img] * 3, -1)).all()

@@ -99,3 +99,32 @@ def test_masked_extraction():
     v = np.asarray(feats.valid)
     xy = np.asarray(feats.xy)[v]
     assert np.all(xy[:, 0] <= left.shape[1] // 2 + 2)
+
+
+def test_frontend_batch_matches_single():
+    """Batched (vmap) frontend equals per-frame results frame by frame."""
+    import jax.numpy as jnp
+
+    from pointslot_tpu.config import CameraConfig, ORBConfig
+    from pointslot_tpu.datasets.synthetic import SyntheticRenderer, make_scene
+    from pointslot_tpu.ops.frontend import StereoFrontend
+
+    cam = CameraConfig()
+    scene = make_scene(n_frames=3, n_points=1500, n_objects=0, seed=5, camera=cam)
+    r = SyntheticRenderer(scene)
+    pairs = [r.render(i)[:2] for i in range(3)]
+    fe = StereoFrontend(cam.height, cam.width, cam.fx, cam.bf, ORBConfig())
+    lefts = jnp.stack([jnp.asarray(l, jnp.uint8) for l, _ in pairs])
+    rights = jnp.stack([jnp.asarray(rt, jnp.uint8) for _, rt in pairs])
+    fb = fe.batch(lefts, rights)
+    for i in range(3):
+        f1 = fe(lefts[i], rights[i])
+        np.testing.assert_array_equal(np.asarray(fb.valid[i]), np.asarray(f1.valid))
+        np.testing.assert_array_equal(np.asarray(fb.desc[i]), np.asarray(f1.desc))
+        np.testing.assert_allclose(np.asarray(fb.xy[i]), np.asarray(f1.xy),
+                                   atol=1e-4)
+        # SAD sub-pixel refinement may flip ties under vmap's different
+        # fusion order; require near-exact depth on >99% of features
+        d_b, d_1 = np.asarray(fb.depth[i]), np.asarray(f1.depth)
+        frac_diff = np.mean(np.abs(d_b - d_1) > 1e-2)
+        assert frac_diff < 0.01, f"{frac_diff:.3%} depths differ"
