@@ -111,6 +111,10 @@ def _build_object_tables(scene, renderer, frontend, cam, O=2, Mo=256):
 
 
 def main():
+    from pointslot_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

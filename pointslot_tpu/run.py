@@ -37,7 +37,14 @@ def main(argv=None):
     ap.add_argument("--use-flow", action="store_true",
                     help="offline optical-flow object tracking (Virtual "
                          "KITTI forwardFlow/ maps)")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache")
     args = ap.parse_args(argv)
+
+    if not args.no_compile_cache:
+        from pointslot_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     from pointslot_tpu.config import SystemConfig, load_yaml
 

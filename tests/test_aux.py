@@ -149,3 +149,17 @@ def test_cuboid_overlay():
         fx=721.5, fy=721.5, cx=609.6, cy=172.9,
     )
     assert (out2 == np.stack([img] * 3, -1)).all()
+
+
+def test_compile_cache_enables(tmp_path):
+    import jax
+
+    from pointslot_tpu.utils.compile_cache import enable_compile_cache
+
+    d = enable_compile_cache(str(tmp_path / "xla"))
+    try:
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+        assert os.path.isdir(d)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
