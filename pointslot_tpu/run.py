@@ -118,15 +118,22 @@ def _synthetic_frames(args, cfg):
 
 def _kitti_frames(args, cfg):
     from pointslot_tpu.datasets.kitti import KittiTrackingSequence
+    from pointslot_tpu.datasets.prefetch import prefetch
 
     seq = KittiTrackingSequence(args.data, args.sequence)
     ts = seq.timestamps(cfg.camera.fps)
     use_flow = cfg.objects.use_offline_flow
-    for i in range(len(seq)):
+
+    def load(i):
         left, right, dets, inst = seq.load(i)
         flow = seq.load_flow(i) if use_flow else None
-        yield (i, float(ts[i]), left, right,
-               (dets if cfg.slot_mode == 4 else None), inst, flow)
+        return (i, float(ts[i]), left, right,
+                (dets if cfg.slot_mode == 4 else None), inst, flow)
+
+    # decode ahead on background threads; the tracking loop never waits
+    # on disk (the reference imreads synchronously per frame,
+    # Examples/Stereo/stereo_kitti.cc:108-124)
+    yield from prefetch(load, len(seq), depth=4, workers=2)
 
 
 if __name__ == "__main__":

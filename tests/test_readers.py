@@ -95,3 +95,49 @@ def test_save_object_poses_camera_frame(tmp_path):
     assert int(parts[0]) == 3 and int(parts[1]) == 7
     vals = np.asarray([float(v) for v in parts[2:14]]).reshape(3, 4)
     np.testing.assert_allclose(vals, T[:3, :4], atol=1e-8)
+
+
+def test_prefetch_order_and_overlap():
+    """Prefetcher yields strictly in order and overlaps loads."""
+    import threading
+    import time as _t
+
+    from pointslot_tpu.datasets.prefetch import prefetch
+
+    lock = threading.Lock()
+    active = [0]
+    peak = [0]
+
+    def load(i):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        _t.sleep(0.03)
+        with lock:
+            active[0] -= 1
+        return i * 10
+
+    out = list(prefetch(load, 12, depth=4, workers=3))
+    assert out == [i * 10 for i in range(12)]
+    assert peak[0] >= 2, "loads never overlapped"
+
+
+def test_prefetch_propagates_errors():
+    from pointslot_tpu.datasets.prefetch import prefetch
+
+    def load(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch(load, 6, depth=2, workers=2))
+
+
+def test_prefetch_empty_and_single():
+    from pointslot_tpu.datasets.prefetch import prefetch
+
+    assert list(prefetch(lambda i: i, 0)) == []
+    assert list(prefetch(lambda i: i, 1)) == [0]
