@@ -324,3 +324,121 @@ class KittiTrackingSequence:
             if best_iou > 0.3:
                 out[m] = best
         return out
+
+
+def read_virtual_kitti_camera_gt(path: str) -> np.ndarray:
+    """Virtual KITTI 2 extrinsic.txt -> (N, 4, 4) world-to-camera matrices
+    for Camera 0 (reference ReadVirtualKittiCameraGT, src/Tracking.cc:845).
+    Row layout: frame cameraID r1,1 ... r3,4 0 0 0 1 (16 floats row-major)."""
+    mats = {}
+    with open(path) as f:
+        f.readline()  # header
+        for ln in f:
+            parts = ln.split()
+            if len(parts) < 18:
+                continue
+            frame, cam = int(parts[0]), int(parts[1])
+            if cam != 0:
+                continue
+            mats[frame] = np.asarray(
+                [float(x) for x in parts[2:18]], np.float64
+            ).reshape(4, 4)
+    if not mats:
+        return np.zeros((0, 4, 4))
+    n = max(mats) + 1
+    out = np.tile(np.eye(4), (n, 1, 1))
+    for i, T in mats.items():
+        out[i] = T
+    return out
+
+
+@dataclass
+class VirtualKittiSequence:
+    """Virtual KITTI 2 scene loader with the KittiTrackingSequence frame
+    interface (reference layout: <root>/<camera dir>/rgb_%05d.jpg,
+    Examples/Stereo/stereo_kitti.cc:228-235, plus pose.txt/bbox.txt/
+    extrinsic.txt at the root, src/Tracking.cc:112-113,:199)."""
+
+    root: str
+
+    def __post_init__(self):
+        pairs = [
+            ("frames/rgb/Camera_0", "frames/rgb/Camera_1"),
+            ("rgb/Camera_0", "rgb/Camera_1"),
+            ("Camera_0", "Camera_1"),
+        ]
+        self.left_dir = self.right_dir = None
+        for l, r in pairs:
+            ld = os.path.join(self.root, l)
+            if os.path.isdir(ld):
+                self.left_dir = ld
+                self.right_dir = os.path.join(self.root, r)
+                break
+        if self.left_dir is None:
+            raise FileNotFoundError(
+                f"no Virtual KITTI camera dirs under {self.root}"
+            )
+        self.frames = sorted(
+            f for f in os.listdir(self.left_dir)
+            if f.endswith((".jpg", ".png"))
+        )
+        self.stereo = os.path.isdir(self.right_dir)
+        pose = os.path.join(self.root, "pose.txt")
+        bbox = os.path.join(self.root, "bbox.txt")
+        self.rows = (
+            read_virtual_kitti_objects(pose, bbox)
+            if os.path.isfile(pose) and os.path.isfile(bbox)
+            else np.zeros((0, 24))
+        )
+        ext = os.path.join(self.root, "extrinsic.txt")
+        self.gt_poses = (
+            read_virtual_kitti_camera_gt(ext) if os.path.isfile(ext) else None
+        )
+        self.instances_dir = None
+        for cand in ("frames/instanceSegmentation/Camera_0",
+                     "instanceSegmentation/Camera_0"):
+            d = os.path.join(self.root, cand)
+            if os.path.isdir(d):
+                self.instances_dir = d
+                break
+        self.flow_dir = None
+        for cand in ("frames/forwardFlow/Camera_0", "forwardFlow/Camera_0"):
+            d = os.path.join(self.root, cand)
+            if os.path.isdir(d):
+                self.flow_dir = d
+                break
+
+    def __len__(self):
+        return len(self.frames)
+
+    def timestamps(self, fps: float = 10.0):
+        return np.arange(len(self.frames)) / fps
+
+    def load_flow(self, i: int):
+        if self.flow_dir is None:
+            return None
+        path = os.path.join(self.flow_dir, f"flow_{i:05d}.png")
+        return read_virtual_kitti_flow(path) if os.path.isfile(path) else None
+
+    def load(self, i: int):
+        name = self.frames[i]
+        left = _imread_gray(os.path.join(self.left_dir, name))
+        right = (
+            _imread_gray(os.path.join(self.right_dir, name))
+            if self.stereo else left
+        )
+        frame_rows = self.rows[self.rows[:, 0] == i] if len(self.rows) else []
+        dets = [
+            Detection.from_row24(r, mask_value=k + 1)
+            for k, r in enumerate(frame_rows)
+            if r[1] >= 0 and r[17] > 0
+        ]
+        inst = None
+        if self.instances_dir is not None:
+            for pat in (f"instancegt_{i:05d}.png", name):
+                p = os.path.join(self.instances_dir, pat)
+                if os.path.isfile(p):
+                    raw = _imread_raw(p)
+                    inst = KittiTrackingSequence._normalize_instances(raw, dets)
+                    break
+        return left, right, dets, inst

@@ -23,7 +23,9 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="pointslot_tpu SLOT runner")
-    ap.add_argument("--data", help="KITTI tracking sequence root")
+    ap.add_argument("--data", help="dataset root (KITTI tracking / VKITTI)")
+    ap.add_argument("--dataset", choices=["kitti", "vkitti"], default="kitti",
+                    help="on-disk layout: KITTI tracking or Virtual KITTI 2")
     ap.add_argument("--sequence", default="0000")
     ap.add_argument("--config", help="reference-schema YAML config")
     ap.add_argument("--mode", type=int, default=None, choices=range(5),
@@ -117,10 +119,15 @@ def _synthetic_frames(args, cfg):
 
 
 def _kitti_frames(args, cfg):
-    from pointslot_tpu.datasets.kitti import KittiTrackingSequence
+    from pointslot_tpu.datasets.kitti import (
+        KittiTrackingSequence, VirtualKittiSequence,
+    )
     from pointslot_tpu.datasets.prefetch import prefetch
 
-    seq = KittiTrackingSequence(args.data, args.sequence)
+    if args.dataset == "vkitti":
+        seq = VirtualKittiSequence(args.data)
+    else:
+        seq = KittiTrackingSequence(args.data, args.sequence)
     ts = seq.timestamps(cfg.camera.fps)
     use_flow = cfg.objects.use_offline_flow
 
