@@ -220,9 +220,16 @@ class KittiTrackingSequence:
         self.left_dir = os.path.join(self.root, "image_02", self.sequence)
         self.right_dir = os.path.join(self.root, "image_03", self.sequence)
         if not os.path.isdir(self.left_dir):
-            # flat layout: <root>/image_02/*.png
-            self.left_dir = os.path.join(self.root, "image_02")
-            self.right_dir = os.path.join(self.root, "image_03")
+            # KITTI raw layout: <root>/image_02/data/0000000000.png
+            # (reference stereo_kitti.cc:237-243, EnDataSetNameNum == 2)
+            raw_left = os.path.join(self.root, "image_02", "data")
+            if os.path.isdir(raw_left):
+                self.left_dir = raw_left
+                self.right_dir = os.path.join(self.root, "image_03", "data")
+            else:
+                # flat layout: <root>/image_02/*.png
+                self.left_dir = os.path.join(self.root, "image_02")
+                self.right_dir = os.path.join(self.root, "image_03")
         self.frames = sorted(
             f for f in os.listdir(self.left_dir) if f.endswith((".png", ".jpg"))
         )

@@ -141,3 +141,22 @@ def test_prefetch_empty_and_single():
 
     assert list(prefetch(lambda i: i, 0)) == []
     assert list(prefetch(lambda i: i, 1)) == [0]
+
+
+def test_kitti_raw_layout(tmp_path):
+    """KITTI raw layout <root>/image_02/data/%010d.png (reference
+    stereo_kitti.cc:237-243) resolves through KittiTrackingSequence."""
+    from PIL import Image
+
+    from pointslot_tpu.datasets.kitti import KittiTrackingSequence
+
+    for cam in ("image_02", "image_03"):
+        d = tmp_path / cam / "data"
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(np.zeros((64, 96), np.uint8)).save(
+                d / f"{i:010d}.png")
+    seq = KittiTrackingSequence(str(tmp_path))
+    assert len(seq) == 2
+    left, right, dets, inst = seq.load(1)
+    assert left.shape == (64, 96) and dets == [] and inst is None
