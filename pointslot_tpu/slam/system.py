@@ -296,9 +296,19 @@ class System:
 
         with self.profiler.timer("frontend"):
             sf = self.frontend(left, right, gate=gate)
+        xy = np.asarray(sf.xy)
+        c = self.cfg.camera
+        if c.k1 != 0 or c.k2 != 0 or c.p1 != 0 or c.p2 != 0:
+            # non-rectified calibration: undistort keypoints like the
+            # reference's Frame::UndistortKeyPoints (no-op on KITTI)
+            from pointslot_tpu.geometry.camera import undistort_points
+
+            xy = np.asarray(undistort_points(
+                xy, c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2
+            ))
         frame = FrameRecord(
             frame_id=frame_id,
-            xy=np.asarray(sf.xy),
+            xy=xy,
             level=np.asarray(sf.level),
             desc=np.asarray(sf.desc),
             angle=np.asarray(sf.angle),
@@ -310,9 +320,11 @@ class System:
         if gate is not None:
             # exact per-feature mask check at level-0 coords — coarse-level
             # gating leaks a few boundary features (reference AssignFeatures
-            # filters by mask value at the keypoint, src/Frame.cc:810-844)
-            yi = np.clip(np.round(frame.xy[:, 1]).astype(int), 0, gate.shape[0] - 1)
-            xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, gate.shape[1] - 1)
+            # filters by mask value at the keypoint, src/Frame.cc:810-844).
+            # masks live on the distorted image: check at raw coords
+            xy_raw = np.asarray(sf.xy)
+            yi = np.clip(np.round(xy_raw[:, 1]).astype(int), 0, gate.shape[0] - 1)
+            xi = np.clip(np.round(xy_raw[:, 0]).astype(int), 0, gate.shape[1] - 1)
             frame.valid = frame.valid & np.asarray(gate)[yi, xi]
         if self._pipeline is not None:
             # fold in any finished mapping-host work (BA poses, culls,
