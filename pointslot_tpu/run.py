@@ -41,6 +41,10 @@ def main(argv=None):
                          "KITTI forwardFlow/ maps)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--viz", type=int, default=0, metavar="N",
+                    help="save a keypoint/box/cuboid overlay PNG every N "
+                         "frames plus a final top-down map (headless "
+                         "counterpart of the reference's Pangolin viewer)")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -77,12 +81,20 @@ def main(argv=None):
     n = 0
     t0 = time.perf_counter()
     for frame_id, ts, left, right, dets, inst, flow in frames:
-        system.track_stereo(left, right, ts, frame_id,
-                            detections=dets, instance_mask=inst, flow=flow)
+        frame = system.track_stereo(left, right, ts, frame_id,
+                                    detections=dets, instance_mask=inst,
+                                    flow=flow)
+        if args.viz and frame_id % args.viz == 0:
+            _save_overlay(args.out, frame_id, left, frame, dets, system, cfg)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
     wall = time.perf_counter() - t0
+    if args.viz:
+        from pointslot_tpu.viz.render import draw_map_topdown, save_png
+
+        save_png(os.path.join(args.out, "map_topdown.png"),
+                 draw_map_topdown(system))
 
     system.save_trajectory_kitti(os.path.join(args.out, "CameraTrajectory.txt"))
     if system._object_system is not None:
@@ -96,6 +108,39 @@ def main(argv=None):
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return 0
+
+
+def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
+    """Keypoint + detection-box + object-cuboid overlay for one frame."""
+    import numpy as np
+
+    from pointslot_tpu.viz.render import (
+        draw_frame, draw_frame_cuboids, save_png,
+    )
+
+    viz_dir = os.path.join(out_dir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    boxes = [(np.asarray(d.bbox), d.track_id) for d in (dets or [])]
+    img = draw_frame(
+        np.asarray(left), keypoints=frame.xy, kp_valid=frame.valid,
+        kp_bound=frame.point_idx >= 0, boxes=boxes,
+        status_text=f"frame {frame_id}",
+    )
+    objsys = system._object_system
+    if objsys is not None:
+        cam = cfg.camera
+        cuboids = []
+        for track in objsys.tracks.values():
+            T_co = track.poses_cf.get(frame_id)
+            if T_co is None:
+                continue
+            # track dims are (length, height, width) = object (x, y, z)
+            cuboids.append((np.asarray(T_co), np.asarray(track.dims),
+                            track.track_id))
+        if cuboids:
+            img = draw_frame_cuboids(img, cuboids, cam.fx, cam.fy,
+                                     cam.cx, cam.cy)
+    save_png(os.path.join(viz_dir, f"frame_{frame_id:06d}.png"), img)
 
 
 def _synthetic_frames(args, cfg):

@@ -53,3 +53,18 @@ def test_gba_path_runs(tmp_path):
         for f, T, _ in traj
     ]
     assert float(np.sqrt(np.mean(np.square(errs)))) < 0.2
+
+
+def test_cli_viz_outputs(tmp_path):
+    """--viz N writes frame overlays and a final top-down map."""
+    from pointslot_tpu import run as run_mod
+
+    out = tmp_path / "vizout"
+    rc = run_mod.main([
+        "--synthetic", "6", "--mode", "4", "--out", str(out),
+        "--viz", "2", "--no-loop",
+    ])
+    assert rc == 0
+    pngs = sorted((out / "viz").glob("frame_*.png"))
+    assert len(pngs) == 3, [p.name for p in pngs]
+    assert (out / "map_topdown.png").exists()
