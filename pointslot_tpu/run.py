@@ -41,6 +41,10 @@ def main(argv=None):
                          "KITTI forwardFlow/ maps)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--sync-mapping", action="store_true",
+                    help="run mapping inline on the tracking thread instead "
+                         "of the async worker (the reference always runs its "
+                         "mapping threads; async is the CLI default)")
     ap.add_argument("--viz", type=int, default=0, metavar="N",
                     help="save a keypoint/box/cuboid overlay PNG every N "
                          "frames plus a final top-down map (headless "
@@ -65,6 +69,11 @@ def main(argv=None):
     if args.use_flow:
         cfg = cfg.replace(objects=cfg.objects.__class__(
             **{**cfg.objects.__dict__, "use_offline_flow": True}))
+    if not args.sync_mapping:
+        # reference thread topology (System.cc:99-141 spawns the mapping/
+        # loop threads unconditionally); --sync-mapping opts out
+        cfg = cfg.replace(runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "async_mapping": True}))
 
     os.makedirs(args.out, exist_ok=True)
 

@@ -369,14 +369,67 @@ class ObjectSystem:
         keyframe of THIS object is still queued, defer fuse/cull/BA to the
         newest one (reference ObjectLocalMapping::CheckTheSameObject,
         src/ObjectLocalMapping.cpp:32-47, gate at :370)."""
+        self.process_object_tasks([(track_id, det)])
+
+    def process_object_tasks(self, items):
+        """Batched mapping-worker entry: apply the same-object gate to every
+        queued (track_id, det), then solve ALL gate-cleared objects' windowed
+        BAs in ONE vmapped device dispatch (object-parallel BA — where the
+        reference serializes per-object solves on its mapping thread,
+        src/ObjectLocalMapping.cpp:356-395)."""
+        ready = []
         with self._obj_lock:
-            self._pending_okfs[track_id] = self._pending_okfs.get(track_id, 1) - 1
-            if self._pending_okfs.get(track_id, 0) > 0:
-                return
-            track = self.tracks.get(track_id)
-            if track is None or not track.keyframes:
-                return
-        self._object_local_mapping(track, det)
+            for track_id, det in items:
+                self._pending_okfs[track_id] = (
+                    self._pending_okfs.get(track_id, 1) - 1
+                )
+                if self._pending_okfs.get(track_id, 0) > 0:
+                    continue
+                track = self.tracks.get(track_id)
+                if track is None or not track.keyframes:
+                    continue
+                ready.append((track, det))
+        if len(ready) <= 1:
+            for track, det in ready:
+                self._object_local_mapping(track, det)
+            return
+        # batched path: cull/fuse + problem build under the lock, one
+        # stacked solve outside it, epoch-guarded write-backs
+        built = []
+        with self._obj_lock:
+            for track, det in ready:
+                okf_idx = len(track.keyframes) - 1
+                epoch = getattr(track, "epoch", 0)
+                self._cull_object_points(track, okf_idx)
+                self._fuse_object_neighbors(track, okf_idx)
+                n_cov = len(track.covisible_keyframes(okf_idx, min_weight=5))
+                if n_cov > self.cfg.objects.ba_min_covisible_kfs:
+                    ba_inputs = self._build_object_ba(track, okf_idx)
+                    if ba_inputs is not None:
+                        built.append((track, epoch, ba_inputs))
+        if not built:
+            return
+        probs = local_ba.stack_problems([b[2][0] for b in built])
+        pri_list = [b[2][3] for b in built]
+        priors = None
+        if any(p is not None for p in pri_list):
+            priors = local_ba.stack_problems([
+                p if p is not None else local_ba.empty_motion_priors()
+                for p in pri_list
+            ])
+        results = local_ba.bundle_adjust_batched(
+            probs, **self._cam_args, priors=priors
+        )
+        self.ba_calls += len(built)
+        import threading
+
+        self.ba_threads.add(threading.get_ident())
+        with self._obj_lock:
+            for bi, (track, epoch, (prob, slot_edge, meta, _)) in enumerate(built):
+                if getattr(track, "epoch", 0) != epoch:
+                    continue
+                res = local_ba.BAResult(*(np.asarray(x[bi]) for x in results))
+                self._apply_object_ba(track, res, slot_edge, meta)
 
     def _unproject_local(self, okf, sel):
         cam = self.cfg.camera

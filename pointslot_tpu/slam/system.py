@@ -170,22 +170,47 @@ class System:
         tracking under map_lock (the reference's mMutexMapUpdate); object
         work locks per the ObjectSystem's own lock, with the BA solve
         running unlocked."""
+        import queue as _queue
+
         while True:
             item = self._mapping_queue.get()
             if item is None:
                 self._mapping_queue.task_done()
                 return
+            drained = 0
             try:
                 if item[0] == "camera":
                     self._process_keyframe_sync(item[1])
                 elif item[0] == "object" and self._object_system is not None:
-                    self._object_system.process_object_task(item[1], item[2])
+                    # drain other queued object KFs and solve every
+                    # gate-cleared object's BA in one vmapped dispatch
+                    batch = [(item[1], item[2])]
+                    extras = []
+                    while len(batch) < 8:
+                        try:
+                            nxt = self._mapping_queue.get_nowait()
+                        except _queue.Empty:
+                            break
+                        drained += 1
+                        if nxt is not None and nxt[0] == "object":
+                            batch.append((nxt[1], nxt[2]))
+                        else:
+                            extras.append(nxt)
+                    self._object_system.process_object_tasks(batch)
+                    for ex in extras:
+                        if ex is None:
+                            # re-arm the shutdown sentinel for this loop
+                            self._mapping_queue.put(None)
+                        elif ex[0] == "camera":
+                            self._process_keyframe_sync(ex[1])
             except Exception:  # pragma: no cover - worker must not die silently
                 import traceback
 
                 traceback.print_exc()
             finally:
                 self._mapping_queue.task_done()
+                for _ in range(drained):
+                    self._mapping_queue.task_done()
 
     def _on_loop_closed(self, corrections):
         # pose landscape changed under the tracker: drop the velocity model

@@ -293,6 +293,55 @@ def _robust_cost(chi2, delta2):
     return jnp.where(chi2 <= delta2, chi2, lin)
 
 
+def empty_motion_priors(R_cap: int = 32) -> MotionPriors:
+    """All-invalid priors (zero weight) — the batching filler."""
+    return MotionPriors(
+        idx=jnp.zeros((R_cap, 2), jnp.int32),
+        T_rel=jnp.tile(jnp.eye(4, dtype=jnp.float32), (R_cap, 1, 1)),
+        weight=jnp.zeros(R_cap, jnp.float32),
+        valid=jnp.zeros(R_cap, bool),
+    )
+
+
+def stack_problems(probs):
+    """Stack same-shape BAProblems (or MotionPriors) along a new leading
+    axis for bundle_adjust_batched."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+
+
+_BATCH_SOLVERS = {}
+
+
+def bundle_adjust_batched(
+    probs: BAProblem,
+    fx: float, fy: float, cx: float, cy: float, bf: float,
+    priors: Optional[MotionPriors] = None,
+    stage_iters: tuple = (5, 10),
+    use_huber_stages: tuple = (True, False),
+) -> BAResult:
+    """Solve a STACK of same-shape BA problems in one vmapped dispatch —
+    object-parallel BA (the EP axis of SURVEY §2d at the windowed-solver
+    level: where the reference serializes per-object BA on its mapping
+    thread, all pending objects solve together on the MXU). ``probs`` (and
+    ``priors`` if given) carry a leading batch axis."""
+    key = (fx, fy, cx, cy, bf, stage_iters, use_huber_stages,
+           priors is not None)
+    fn = _BATCH_SOLVERS.get(key)
+    if fn is None:
+        def base(p, pr):
+            return bundle_adjust(
+                p, fx, fy, cx, cy, bf, stage_iters=stage_iters,
+                use_huber_stages=use_huber_stages, priors=pr,
+            )
+
+        if priors is None:
+            fn = jax.jit(jax.vmap(lambda p: base(p, None)))
+        else:
+            fn = jax.jit(jax.vmap(base))
+        _BATCH_SOLVERS[key] = fn
+    return fn(probs) if priors is None else fn(probs, priors)
+
+
 def _prior_residual(poses, priors: MotionPriors):
     """(R, 6) residuals log(T_j (T_rel T_i)^-1) of the motion priors."""
     Ti = _gather_rows(poses, priors.idx[:, 0])

@@ -222,3 +222,34 @@ def test_motion_priors_constrain_unobserved_pose(rng):
     err1 = np.linalg.norm(np.asarray(r1.poses[1])[:3, 3] - poses_true[1][:3, 3])
     assert err1 < 0.01, (err0, err1)
     assert err1 < err0 * 0.25, (err0, err1)
+
+
+def test_batched_bundle_adjust_matches_individual(rng):
+    """bundle_adjust_batched (vmapped multi-problem solve) reproduces the
+    per-problem results exactly."""
+    probs = []
+    for s in range(3):
+        prob = make_problem(
+            np.random.default_rng(40 + s), n_poses=4, n_points=120,
+            P_cap=4, L_cap=128, K=4,
+        )[0]
+        probs.append(prob)
+    stacked = local_ba.stack_problems(probs)
+    batched = local_ba.bundle_adjust_batched(stacked, FX, FY, CX, CY, BF)
+    for i, prob in enumerate(probs):
+        single = local_ba.bundle_adjust(prob, FX, FY, CX, CY, BF)
+        np.testing.assert_allclose(np.asarray(batched.poses[i]),
+                                   np.asarray(single.poses), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(batched.cost[i]),
+                                   np.asarray(single.cost), rtol=1e-4)
+
+    # with priors: fillers (zero weight) leave prior-less problems unchanged
+    pri = local_ba.build_motion_priors(
+        idx=[[0, 1]], T_rel=np.eye(4)[None], weight=[10.0], R_cap=32)
+    pris = local_ba.stack_problems(
+        [pri, local_ba.empty_motion_priors(), local_ba.empty_motion_priors()])
+    batched_p = local_ba.bundle_adjust_batched(
+        stacked, FX, FY, CX, CY, BF, priors=pris)
+    single_1 = local_ba.bundle_adjust(probs[1], FX, FY, CX, CY, BF)
+    np.testing.assert_allclose(np.asarray(batched_p.poses[1]),
+                               np.asarray(single_1.poses), atol=1e-4)
