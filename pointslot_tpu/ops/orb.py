@@ -124,8 +124,6 @@ class ORBExtractor:
             np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0), jnp.float32
         )
         wx, wy = _moment_weights(48)
-        self._wx = jnp.asarray(wx)
-        self._wy = jnp.asarray(wy)
         self._wxy = jnp.stack(
             [jnp.asarray(wx).reshape(-1), jnp.asarray(wy).reshape(-1)], axis=1
         )                                                      # (2304, 2)

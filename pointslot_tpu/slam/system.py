@@ -182,10 +182,12 @@ class System:
                 if item[0] == "camera":
                     self._process_keyframe_sync(item[1])
                 elif item[0] == "object" and self._object_system is not None:
-                    # drain other queued object KFs and solve every
-                    # gate-cleared object's BA in one vmapped dispatch
+                    # drain CONSECUTIVE queued object KFs and solve every
+                    # gate-cleared object's BA in one vmapped dispatch; stop
+                    # at the first non-object item so camera keyframes are
+                    # never deferred behind an object batch
                     batch = [(item[1], item[2])]
-                    extras = []
+                    extra = ()  # () = no follow-up item drained
                     while len(batch) < 8:
                         try:
                             nxt = self._mapping_queue.get_nowait()
@@ -195,14 +197,18 @@ class System:
                         if nxt is not None and nxt[0] == "object":
                             batch.append((nxt[1], nxt[2]))
                         else:
-                            extras.append(nxt)
-                    self._object_system.process_object_tasks(batch)
-                    for ex in extras:
-                        if ex is None:
+                            extra = nxt
+                            break
+                    try:
+                        self._object_system.process_object_tasks(batch)
+                    finally:
+                        # the drained follow-up item must survive an
+                        # object-batch failure
+                        if extra is None:
                             # re-arm the shutdown sentinel for this loop
                             self._mapping_queue.put(None)
-                        elif ex[0] == "camera":
-                            self._process_keyframe_sync(ex[1])
+                        elif extra != () and extra[0] == "camera":
+                            self._process_keyframe_sync(extra[1])
             except Exception:  # pragma: no cover - worker must not die silently
                 import traceback
 
@@ -322,15 +328,26 @@ class System:
         with self.profiler.timer("frontend"):
             sf = self.frontend(left, right, gate=gate)
         xy = np.asarray(sf.xy)
+        u_right = np.asarray(sf.u_right)
         c = self.cfg.camera
         if c.k1 != 0 or c.k2 != 0 or c.p1 != 0 or c.p2 != 0:
             # non-rectified calibration: undistort keypoints like the
-            # reference's Frame::UndistortKeyPoints (no-op on KITTI)
+            # reference's Frame::UndistortKeyPoints (no-op on KITTI).
+            # u_right shifts by the same horizontal displacement so the
+            # disparity (hence depth) measured on the distorted pair stays
+            # consistent — valid when L/R distortion fields are near-equal;
+            # pre-rectified input remains the recommended stereo path, as
+            # in the reference
             from pointslot_tpu.geometry.camera import undistort_points
 
-            xy = np.asarray(undistort_points(
+            xy_und = np.asarray(undistort_points(
                 xy, c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2
             ))
+            has_st = u_right >= 0
+            u_right = np.where(
+                has_st, u_right + (xy_und[:, 0] - xy[:, 0]), u_right
+            ).astype(u_right.dtype)
+            xy = xy_und
         frame = FrameRecord(
             frame_id=frame_id,
             xy=xy,
@@ -338,7 +355,7 @@ class System:
             desc=np.asarray(sf.desc),
             angle=np.asarray(sf.angle),
             depth=np.asarray(sf.depth),
-            u_right=np.asarray(sf.u_right),
+            u_right=u_right,
             valid=np.asarray(sf.valid),
             point_idx=np.full(sf.xy.shape[0], -1, np.int64),
         )

@@ -265,6 +265,7 @@ class CameraTracker:
         cap = 1500
         if len(fsel) > cap:
             PROFILER.count("pose_opt_edges_dropped", len(fsel) - cap)
+            fsel = fsel[:cap]
         edges_pts = m.pt_pos[bind[fsel]].astype(np.float32)
         obs = np.stack(
             [frame.xy[fsel, 0], frame.xy[fsel, 1], frame.u_right[fsel]], axis=1

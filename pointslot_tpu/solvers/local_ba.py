@@ -347,7 +347,7 @@ def _prior_residual(poses, priors: MotionPriors):
     Ti = _gather_rows(poses, priors.idx[:, 0])
     Tj = _gather_rows(poses, priors.idx[:, 1])
     pred = priors.T_rel @ Ti
-    err = Tj @ jnp.linalg.inv(pred)
+    err = Tj @ jax.vmap(se3.se3_inverse)(pred)
     return jax.vmap(se3.se3_log)(err)
 
 
@@ -359,7 +359,9 @@ def _prior_terms(poses, priors: MotionPriors, P: int):
         def r_of(xi):
             xi_i, xi_j = xi[:6], xi[6:]
             pred = Trel @ se3.se3_retract(Ti, xi_i)
-            return se3.se3_log(se3.se3_retract(Tj, xi_j) @ jnp.linalg.inv(pred))
+            return se3.se3_log(
+                se3.se3_retract(Tj, xi_j) @ se3.se3_inverse(pred)
+            )
 
         J = jax.jacfwd(r_of)(jnp.zeros(12, jnp.float32))    # (6, 12)
         return r_of(jnp.zeros(12, jnp.float32)), J[:, :6], J[:, 6:]

@@ -30,6 +30,6 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", d)
     # cache everything, even fast compiles — the tunnel round-trip is the
     # cost being avoided, not local compile CPU
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return d

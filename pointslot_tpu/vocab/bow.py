@@ -160,10 +160,10 @@ def train_default_vocab(seed: int = 0, n_words: int = 512,
 
 
 def load_vocab(path: str) -> BinaryVocabulary:
-    """Load a DBoW2 vocabulary by format: .bin/.gz binary layout (the file
-    the reference ships and loads at src/System.cc:79), anything else the
-    text export."""
-    if path.endswith(".bin"):
+    """Load a DBoW2 vocabulary by format: .bin (optionally .bin.gz) binary
+    layout (the file the reference loads at src/System.cc:79), anything
+    else the text export."""
+    if path.endswith((".bin", ".bin.gz")):
         return load_orb_vocab_binary(path)
     return load_orb_vocab_text(path)
 
@@ -177,9 +177,15 @@ def load_orb_vocab_binary(path: str) -> BinaryVocabulary:
     i32 scoring, i32 weighting), then nb_nodes fixed-size records of
     size_node bytes: i32 parent | 32 descriptor bytes | f32 weight |
     u8 is_leaf. Only the leaves (words) are kept — the flat MXU lookup
-    replaces the k^L tree descent."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    replaces the k^L tree descent. Accepts gzip-compressed files (.gz)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            raw = f.read()
+    else:
+        with open(path, "rb") as f:
+            raw = f.read()
     if len(raw) < 24:
         raise ValueError(f"{path}: truncated vocabulary header")
     nb_nodes, size_node = np.frombuffer(raw[:8], np.uint32)

@@ -155,3 +155,21 @@ def test_binary_vocab_roundtrip(tmp_path, rng):
     q = perturb_desc(rng, desc_u32[is_leaf][:8], 2)
     _, w = vocab2.transform(q, np.ones(8, bool))
     assert (np.asarray(w) == np.arange(8)).mean() >= 0.75
+
+
+def test_binary_vocab_gzip(tmp_path, rng):
+    """.bin.gz vocabularies decompress through the same loader."""
+    import gzip
+
+    from pointslot_tpu.vocab.bow import load_vocab, save_orb_vocab_binary
+
+    n = 10
+    desc = random_desc(rng, n).view(np.uint8)
+    path = str(tmp_path / "voc.bin")
+    save_orb_vocab_binary(path, np.zeros(n, np.int32), desc,
+                          np.ones(n, np.float32), np.ones(n, bool))
+    gz = path + ".gz"
+    with open(path, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    vocab = load_vocab(gz)
+    assert vocab.n_words == n

@@ -131,3 +131,45 @@ def test_mono_edges_ignore_ur(rng):
         jnp.asarray(T_true, jnp.float32), mono_edges, FX, FY, CX, CY, BF
     )
     assert pose_error(result.T, T_true) < 5e-3
+
+
+def test_optimize_pose_over_edge_cap():
+    """More than 1500 bound features must not crash the motion-only solve
+    (regression: the capped inlier mask was applied to the uncapped
+    feature-selection array)."""
+    import numpy as np
+
+    from pointslot_tpu.config import SystemConfig
+    from pointslot_tpu.slam.map_state import MapState
+    from pointslot_tpu.slam.tracking import CameraTracker, FrameRecord
+
+    rng = np.random.default_rng(0)
+    cfg = SystemConfig()
+    N = 1700
+    m = MapState()
+    pts = np.stack([rng.uniform(-12, 12, N), rng.uniform(-3, 3, N),
+                    rng.uniform(5, 40, N)], axis=1)
+    m.pt_pos[:N] = pts
+    m.pt_valid[:N] = True
+
+    c = cfg.camera
+    z = pts[:, 2]
+    u = c.fx * pts[:, 0] / z + c.cx
+    v = c.fy * pts[:, 1] / z + c.cy
+    frame = FrameRecord(
+        frame_id=0,
+        xy=np.stack([u + rng.normal(size=N) * 0.3,
+                     v + rng.normal(size=N) * 0.3], axis=1).astype(np.float32),
+        level=np.zeros(N, np.int32),
+        desc=np.zeros((N, 8), np.uint32),
+        angle=np.zeros(N, np.float32),
+        depth=z.astype(np.float32),
+        u_right=(u - c.bf / z).astype(np.float32),
+        valid=np.ones(N, bool),
+        point_idx=np.arange(N, dtype=np.int64),
+    )
+    tracker = CameraTracker(cfg, m)
+    n_inl = tracker._optimize_pose(frame, np.eye(4, dtype=np.float32))
+    assert n_inl > 1000
+    assert frame.T_cw is not None
+    assert np.linalg.norm(frame.T_cw[:3, 3]) < 0.1
