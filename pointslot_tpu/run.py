@@ -41,6 +41,13 @@ def main(argv=None):
                          "KITTI forwardFlow/ maps)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--save-checkpoint", metavar="NPZ",
+                    help="write full system state (map, trajectory, object "
+                         "tracks) at shutdown — the reference's SaveMap "
+                         "TODO (include/System.h:109-111), implemented")
+    ap.add_argument("--resume", metavar="NPZ",
+                    help="restore system state from a checkpoint before "
+                         "the first frame")
     ap.add_argument("--sync-mapping", action="store_true",
                     help="run mapping inline on the tracking thread instead "
                          "of the async worker (the reference always runs its "
@@ -87,6 +94,10 @@ def main(argv=None):
     from pointslot_tpu.slam.system import System
 
     system = System(cfg)
+    if args.resume:
+        from pointslot_tpu.slam.checkpoint import load_checkpoint
+
+        load_checkpoint(args.resume, system)
     n = 0
     t0 = time.perf_counter()
     for frame_id, ts, left, right, dets, inst, flow in frames:
@@ -111,6 +122,11 @@ def main(argv=None):
         system.save_trajectory_camera_and_objects(
             os.path.join(args.out, "CameraAndObjectTrajectory.txt")
         )
+    if args.save_checkpoint:
+        from pointslot_tpu.slam.checkpoint import save_checkpoint
+
+        system.wait_for_mapping()
+        save_checkpoint(args.save_checkpoint, system)
     stats = system.shutdown()
     stats.update({"frames": n, "wall_s": wall, "fps": n / max(wall, 1e-9)})
     print(json.dumps(stats))

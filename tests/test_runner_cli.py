@@ -68,3 +68,29 @@ def test_cli_viz_outputs(tmp_path):
     pngs = sorted((out / "viz").glob("frame_*.png"))
     assert len(pngs) == 3, [p.name for p in pngs]
     assert (out / "map_topdown.png").exists()
+
+
+def test_cli_checkpoint_roundtrip(tmp_path):
+    """--save-checkpoint then --resume continues the run (SaveMap/LoadMap
+    role; the reference never implemented its TODO)."""
+    from pointslot_tpu import run as run_mod
+
+    ckpt = tmp_path / "state.npz"
+    out1 = tmp_path / "o1"
+    rc = run_mod.main([
+        "--synthetic", "8", "--mode", "0", "--out", str(out1),
+        "--max-frames", "5", "--save-checkpoint", str(ckpt), "--no-loop",
+    ])
+    assert rc == 0 and ckpt.exists()
+
+    out2 = tmp_path / "o2"
+    rc = run_mod.main([
+        "--synthetic", "8", "--mode", "0", "--out", str(out2),
+        "--resume", str(ckpt), "--no-loop",
+    ])
+    assert rc == 0
+    import json
+
+    stats = json.loads((out2 / "stats.json").read_text())
+    # the resumed run starts from the checkpointed map, not from scratch
+    assert stats["n_keyframes"] >= 1
