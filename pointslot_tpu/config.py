@@ -266,6 +266,13 @@ class RuntimeConfig:
     # default for determinism.
     async_mapping: bool = False
     mapping_every_n_frames: int = 1
+    # device-resident camera tracking: run the fused per-frame step
+    # (ops/fused_track.py) with keyframe-rate device map tables; the host
+    # tracker handles init/reloc/gated frames and rejected frames
+    device_resident_tracking: bool = False
+    # frames between device-table refreshes (catches async BA updates
+    # between keyframes)
+    fast_refresh_every: int = 10
     use_native: bool = True          # use the C++ runtime library when built
     profile: bool = False
     seed: int = 0

@@ -55,10 +55,10 @@ class FusedTrackStep:
     octave, valid (M,) bool. M is a static capacity; callers pad.
     """
 
-    def __init__(self, config: SystemConfig):
+    def __init__(self, config: SystemConfig, frontend: StereoFrontend = None):
         self.cfg = config
         cam = config.camera
-        self.frontend = StereoFrontend(
+        self.frontend = frontend or StereoFrontend(
             cam.height, cam.width, cam.fx, cam.bf, config.orb
         )
         self._scales = jnp.asarray(
@@ -119,10 +119,11 @@ class FusedTrackStep:
                                 map_valid, radius=7.0,
                                 th_desc=matchers.TH_HIGH)
         r1 = self._solve_stage(frame, pf1, T_pred, map_pos)
-        # stage 2: local-map window at the refined pose (radius 3,
-        # reference SearchByProjection vs local map, src/ORBmatcher.cc:68)
+        # stage 2: local-map window at the refined pose (radius 4, matching
+        # the host tracker; reference SearchByProjection vs local map,
+        # src/ORBmatcher.cc:68)
         pf2 = self._match_stage(frame, r1.T, map_pos, map_desc, map_level,
-                                map_valid, radius=3.0,
+                                map_valid, radius=4.0,
                                 th_desc=matchers.TH_HIGH)
         # features that matched in stage 1 keep their binding if stage 2
         # found nothing there (the keep_existing semantics of tracking)

@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--resume", metavar="NPZ",
                     help="restore system state from a checkpoint before "
                          "the first frame")
+    ap.add_argument("--device-tracking", action="store_true",
+                    help="device-resident camera tracking: ONE fused XLA "
+                         "dispatch per frame with keyframe-rate map-table "
+                         "refresh (mode-0 frames without masks)")
     ap.add_argument("--sync-mapping", action="store_true",
                     help="run mapping inline on the tracking thread instead "
                          "of the async worker (the reference always runs its "
@@ -81,6 +85,9 @@ def main(argv=None):
         # loop threads unconditionally); --sync-mapping opts out
         cfg = cfg.replace(runtime=cfg.runtime.__class__(
             **{**cfg.runtime.__dict__, "async_mapping": True}))
+    if args.device_tracking:
+        cfg = cfg.replace(runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "device_resident_tracking": True}))
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -146,9 +153,14 @@ def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
     viz_dir = os.path.join(out_dir, "viz")
     os.makedirs(viz_dir, exist_ok=True)
     boxes = [(np.asarray(d.bbox), d.track_id) for d in (dets or [])]
+    # device-resident fast path keeps feature coords on device; skip the
+    # keypoint layer for those frames
+    kp = frame.xy if frame is not None and frame.xy is not None else None
     img = draw_frame(
-        np.asarray(left), keypoints=frame.xy, kp_valid=frame.valid,
-        kp_bound=frame.point_idx >= 0, boxes=boxes,
+        np.asarray(left), keypoints=kp,
+        kp_valid=frame.valid if kp is not None else None,
+        kp_bound=(frame.point_idx >= 0) if kp is not None else None,
+        boxes=boxes,
         status_text=f"frame {frame_id}",
     )
     objsys = system._object_system

@@ -40,6 +40,12 @@ class System:
         self.tracker.reset_callback = self._on_reset
         self.loop_closer = None
         self._pipeline = None
+        self._fast = None
+        self._fast_frames = 0
+        if self.cfg.runtime.device_resident_tracking:
+            from pointslot_tpu.slam.fast_path import DeviceTrackingPath
+
+            self._fast = DeviceTrackingPath(self.cfg, self.frontend)
         if self.cfg.runtime.pipeline_stages:
             # cross-host stage partitioning: local mapping + loop closing
             # run on the mapping-host process (parallel/pipeline.py);
@@ -155,6 +161,10 @@ class System:
             self._mapping_queue.put(("camera", kf))
         else:
             self._process_keyframe_sync(kf)
+        if self._fast is not None:
+            # keyframe-rate device-table refresh (sync mapping has already
+            # run BA here; async updates land via the periodic refresh)
+            self._fast.refresh(self.map, self.tracker.ref_kf)
 
     def _process_keyframe_sync(self, kf: int):
         with self.map_lock:
@@ -231,6 +241,8 @@ class System:
                     T_old.astype(np.float32)
                 )
                 self.tracker.last_frame.T_cw = (rel @ T_new).astype(np.float32)
+        if self._fast is not None:
+            self._fast.invalidate()
 
     def _on_keyframe_removed(self, kf: int):
         self.tracker.on_keyframe_removed(kf)
@@ -242,6 +254,8 @@ class System:
         self.local_mapper.recent_points.clear()
         if self.loop_closer is not None:
             self.loop_closer.db.present[:] = False
+        if self._fast is not None:
+            self._fast.invalidate()
 
     # ------------------------------------------------------------------
     def track_stereo(self, left, right, timestamp: float, frame_id: int,
@@ -304,6 +318,39 @@ class System:
                     if x1 > x0 and y1 > y0:
                         mask[y0:y1, x0:x1] = k + 1
                 instance_mask = mask
+
+        # device-resident fast path: one fused dispatch when the frame
+        # needs no gating, no object pipeline, and tracking is healthy
+        if (
+            self._fast is not None
+            and instance_mask is None
+            and detections is None
+            and self._object_system is None
+            and self._pipeline is None
+            and self._fast.ready(self.tracker)
+        ):
+            with self.profiler.timer("tracking"), self.map_lock:
+                frame = self._fast.track(self.tracker, left, right, frame_id)
+                if frame is not None:
+                    self._fast_frames += 1
+                    if (
+                        self._fast_frames
+                        % self.cfg.runtime.fast_refresh_every == 0
+                    ):
+                        self._fast.refresh(self.map, self.tracker.ref_kf)
+                    if self.tracker._need_new_keyframe(frame):
+                        self._fast.materialize(frame)
+                        self.tracker._create_keyframe(frame)
+                    self.tracker.commit_frame(frame)
+                else:
+                    # rejected: the host tracker re-runs the frame from the
+                    # same extracted features (reference fallback order,
+                    # src/Tracking.cc:1148-1163)
+                    frame = self._fast.fallback_frame(frame_id)
+                    self.tracker.track(frame)
+            self.timestamps.append(timestamp)
+            self.frame_times.append(time.perf_counter() - t0)
+            return frame
 
         gate = None
         if self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM and instance_mask is not None:

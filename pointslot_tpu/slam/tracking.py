@@ -132,6 +132,12 @@ class CameraTracker:
                 )
                 self.velocity = None
 
+        self.commit_frame(frame)
+        return frame
+
+    def commit_frame(self, frame: FrameRecord):
+        """Shared per-frame tail: relative-pose trajectory log + last-frame
+        hand-off (also used by the device-resident fast path)."""
         if frame.T_cw is not None and self.ref_kf >= 0:
             T_ref = self.map.kf_pose[self.ref_kf]
             self.trajectory.append(
@@ -144,7 +150,6 @@ class CameraTracker:
                 )
             )
         self.last_frame = frame
-        return frame
 
     # ------------------------------------------------------------------
     def on_keyframe_removed(self, kf: int):
