@@ -71,16 +71,25 @@ class FusedTrackStep:
         )
         self._wh = dict(width=cam.width, height=cam.height)
         self._step = jax.jit(self._step_impl)
+        self._step_gated = jax.jit(self._step_gated_impl)
 
     # ------------------------------------------------------------------
     def __call__(self, left, right, T_prev, velocity,
-                 map_pos, map_desc, map_level, map_valid) -> FusedStepResult:
-        return FusedStepResult(*self._step(
+                 map_pos, map_desc, map_level, map_valid,
+                 gate=None) -> FusedStepResult:
+        """gate: optional (H, W) bool allowed-region mask — detection is
+        restricted to it AND each feature is exact-checked at its level-0
+        coords (the reference's AssignFeatures mask filter,
+        src/Frame.cc:810-844), all inside the one dispatch."""
+        args = (
             jnp.asarray(left), jnp.asarray(right),
             jnp.asarray(T_prev, jnp.float32), jnp.asarray(velocity, jnp.float32),
             jnp.asarray(map_pos, jnp.float32), jnp.asarray(map_desc, jnp.uint32),
             jnp.asarray(map_level, jnp.int32), jnp.asarray(map_valid, bool),
-        ))
+        )
+        if gate is None:
+            return FusedStepResult(*self._step(*args))
+        return FusedStepResult(*self._step_gated(*args, jnp.asarray(gate, bool)))
 
     # ------------------------------------------------------------------
     def _match_stage(self, sf, T, map_pos, map_desc, map_level, map_valid,
@@ -108,9 +117,23 @@ class FusedTrackStep:
         )
         return pose_opt.pose_optimize(T_init, edges, **self._cam)
 
+    def _step_gated_impl(self, left, right, T_prev, velocity,
+                         map_pos, map_desc, map_level, map_valid, gate):
+        return self._step_impl(left, right, T_prev, velocity,
+                               map_pos, map_desc, map_level, map_valid,
+                               gate=gate)
+
     def _step_impl(self, left, right, T_prev, velocity,
-                   map_pos, map_desc, map_level, map_valid):
-        frame = _stereo_frame(self.frontend, left, right)
+                   map_pos, map_desc, map_level, map_valid, gate=None):
+        frame = _stereo_frame(self.frontend, left, right, gate)
+        if gate is not None:
+            # exact per-feature mask check at level-0 coords (coarse-level
+            # gating leaks a few boundary features)
+            xi = jnp.clip(jnp.round(frame.xy[:, 0]).astype(jnp.int32), 0,
+                          gate.shape[1] - 1)
+            yi = jnp.clip(jnp.round(frame.xy[:, 1]).astype(jnp.int32), 0,
+                          gate.shape[0] - 1)
+            frame = frame._replace(valid=frame.valid & gate[yi, xi])
 
         T_pred = velocity @ T_prev
         # stage 1: motion-model window (radius 7, TH_HIGH — reference
@@ -137,11 +160,13 @@ class FusedTrackStep:
                 frame.depth, frame.u_right, frame.valid)
 
 
-def _stereo_frame(frontend: StereoFrontend, left, right):
+def _stereo_frame(frontend: StereoFrontend, left, right, gate=None):
     """Run the frontend impl inline (inside the enclosing jit)."""
     from pointslot_tpu.ops.frontend import StereoFrame
 
-    return StereoFrame(*frontend._run_impl(left, right))
+    if gate is None:
+        return StereoFrame(*frontend._run_impl(left, right))
+    return StereoFrame(*frontend._run_gated_impl(left, right, gate))
 
 
 # ---------------------------------------------------------------------------

@@ -96,7 +96,7 @@ class DeviceTrackingPath:
             and tracker.last_frame.T_cw is not None
         )
 
-    def track(self, tracker, left, right, frame_id: int):
+    def track(self, tracker, left, right, frame_id: int, gate=None):
         """One fused-step frame. Returns the (light) FrameRecord on
         success, or None to signal the caller to run the host tracker
         (full-feature fallback frame available via `materialize`)."""
@@ -113,7 +113,7 @@ class DeviceTrackingPath:
             if self._vel_dev is not None
             else jnp.asarray(tracker.velocity, jnp.float32)
         )
-        res = self.step(left, right, T_prev, vel, *self._tables)
+        res = self.step(left, right, T_prev, vel, *self._tables, gate=gate)
         self._last_res = res
         n_inl = int(res.n_inliers)
         if n_inl < self.cfg.tracking.min_inliers_local_map:

@@ -319,39 +319,6 @@ class System:
                         mask[y0:y1, x0:x1] = k + 1
                 instance_mask = mask
 
-        # device-resident fast path: one fused dispatch when the frame
-        # needs no gating, no object pipeline, and tracking is healthy
-        if (
-            self._fast is not None
-            and instance_mask is None
-            and detections is None
-            and self._object_system is None
-            and self._pipeline is None
-            and self._fast.ready(self.tracker)
-        ):
-            with self.profiler.timer("tracking"), self.map_lock:
-                frame = self._fast.track(self.tracker, left, right, frame_id)
-                if frame is not None:
-                    self._fast_frames += 1
-                    if (
-                        self._fast_frames
-                        % self.cfg.runtime.fast_refresh_every == 0
-                    ):
-                        self._fast.refresh(self.map, self.tracker.ref_kf)
-                    if self.tracker._need_new_keyframe(frame):
-                        self._fast.materialize(frame)
-                        self.tracker._create_keyframe(frame)
-                    self.tracker.commit_frame(frame)
-                else:
-                    # rejected: the host tracker re-runs the frame from the
-                    # same extracted features (reference fallback order,
-                    # src/Tracking.cc:1148-1163)
-                    frame = self._fast.fallback_frame(frame_id)
-                    self.tracker.track(frame)
-            self.timestamps.append(timestamp)
-            self.frame_times.append(time.perf_counter() - t0)
-            return frame
-
         gate = None
         if self.cfg.slot_mode == SLOTMode.DYNAMIC_SLAM and instance_mask is not None:
             gate = instance_mask == 0
@@ -372,8 +339,67 @@ class System:
                             len(tr.poses_cf) >= self.cfg.objects.dyn_hysteresis_votes:
                         gate |= instance_mask == det.mask_value
 
-        with self.profiler.timer("frontend"):
-            sf = self.frontend(left, right, gate=gate)
+        # device-resident fast path: ONE fused dispatch (frontend + two
+        # match/solve stages, gate applied in-kernel) when tracking is
+        # healthy; the host tracker takes init/reloc/rejected frames and
+        # the cross-host pipeline mode
+        c = self.cfg.camera
+        fast_ok = (
+            self._fast is not None
+            and self._pipeline is None
+            and c.k1 == 0 and c.k2 == 0 and c.p1 == 0 and c.p2 == 0
+            and self._fast.ready(self.tracker)
+        )
+        if fast_ok:
+            with self.profiler.timer("tracking"), self.map_lock:
+                frame = self._fast.track(self.tracker, left, right,
+                                         frame_id, gate=gate)
+                if frame is not None:
+                    self._fast_frames += 1
+                    if (
+                        self._fast_frames
+                        % self.cfg.runtime.fast_refresh_every == 0
+                    ):
+                        self._fast.refresh(self.map, self.tracker.ref_kf)
+                    if self.tracker._need_new_keyframe(frame):
+                        self._fast.materialize(frame)
+                        self.tracker._create_keyframe(frame)
+                    self.tracker.commit_frame(frame)
+                    if self._object_system is not None:
+                        # the object pipeline reads the camera frame's
+                        # features; pull them once per frame
+                        self._fast.materialize(frame)
+                else:
+                    # rejected: the host tracker re-runs the frame from the
+                    # same extracted (and gate-checked) features (reference
+                    # fallback order, src/Tracking.cc:1148-1163)
+                    frame = self._fast.fallback_frame(frame_id)
+                    self.tracker.track(frame)
+        if not fast_ok:
+            with self.profiler.timer("frontend"):
+                sf = self.frontend(left, right, gate=gate)
+            frame = self._build_frame_record(sf, gate, frame_id)
+            if self._pipeline is not None:
+                # fold in any finished mapping-host work (BA poses, culls,
+                # loop corrections) before tracking against the map
+                self._pipeline.poll()
+            with self.profiler.timer("tracking"), self.map_lock:
+                self.tracker.track(frame)
+        self.timestamps.append(timestamp)
+
+        if self._object_system is not None and frame.T_cw is not None:
+            with self.profiler.timer("objects"):
+                self._object_system.process_frame(
+                    frame, left, right, detections, instance_mask, timestamp,
+                    flow=self._prev_flow if self.cfg.objects.use_offline_flow
+                    else None,
+                )
+        self._prev_flow = flow
+
+        self.frame_times.append(time.perf_counter() - t0)
+        return frame
+
+    def _build_frame_record(self, sf, gate, frame_id) -> FrameRecord:
         xy = np.asarray(sf.xy)
         u_right = np.asarray(sf.u_right)
         c = self.cfg.camera
@@ -415,24 +441,6 @@ class System:
             yi = np.clip(np.round(xy_raw[:, 1]).astype(int), 0, gate.shape[0] - 1)
             xi = np.clip(np.round(xy_raw[:, 0]).astype(int), 0, gate.shape[1] - 1)
             frame.valid = frame.valid & np.asarray(gate)[yi, xi]
-        if self._pipeline is not None:
-            # fold in any finished mapping-host work (BA poses, culls,
-            # loop corrections) before tracking against the map
-            self._pipeline.poll()
-        with self.profiler.timer("tracking"), self.map_lock:
-            self.tracker.track(frame)
-        self.timestamps.append(timestamp)
-
-        if self._object_system is not None and frame.T_cw is not None:
-            with self.profiler.timer("objects"):
-                self._object_system.process_frame(
-                    frame, left, right, detections, instance_mask, timestamp,
-                    flow=self._prev_flow if self.cfg.objects.use_offline_flow
-                    else None,
-                )
-        self._prev_flow = flow
-
-        self.frame_times.append(time.perf_counter() - t0)
         return frame
 
     # ------------------------------------------------------------------

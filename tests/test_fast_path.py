@@ -68,3 +68,50 @@ def test_fast_path_keyframes_support_relocalization(paired):
     for kf in kfs:
         assert m.kf_feat_valid[kf].sum() > 100
         assert (m.kf_point_idx[kf] >= 0).sum() > 30
+
+
+def test_fast_path_mode4_with_objects():
+    """Device tracking with the gated fused step under the full mode-4
+    object pipeline: objects still tracked, camera accurate."""
+    from pointslot_tpu.config import SLOTMode
+    from pointslot_tpu.datasets.synthetic import offline_detection_rows
+    from pointslot_tpu.slam.objects import Detection
+
+    scene = make_scene(n_frames=10, n_points=2500, n_objects=2, seed=31,
+                       forward_speed=0.8)
+    renderer = SyntheticRenderer(scene)
+    rows = offline_detection_rows(scene)
+    cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+    cfg = cfg.replace(
+        objects=cfg.objects.__class__(
+            **{**cfg.objects.__dict__, "init_min_features": 10,
+               "init_min_map_points": 8, "min_tracked_points": 8,
+               "track_min_features": 10, "set_init_position_by_points": False}),
+        tracking=cfg.tracking.__class__(
+            **{**cfg.tracking.__dict__, "min_init_stereo_features": 350}),
+        runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "device_resident_tracking": True}),
+        loop=cfg.loop.__class__(**{**cfg.loop.__dict__, "enabled": False}),
+    )
+    system = System(cfg)
+    for i in range(10):
+        left, right, inst = renderer.render(i)
+        frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+        dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
+                for r in frame_rows]
+        system.track_stereo(left, right, i * 0.1, i, detections=dets,
+                            instance_mask=inst)
+    system.shutdown()
+    assert system._fast_frames >= 4, system._fast_frames
+    objsys = system._object_system
+    assert len(objsys.all_tracks) >= 1
+    best = max(objsys.all_tracks, key=lambda t: len(t.poses_cf))
+    assert len(best.poses_cf) >= 5
+    errs = []
+    for track in objsys.all_tracks:
+        gt_obj = next(o for o in scene.objects if o.track_id == track.track_id)
+        for f, T_co in track.poses_cf.items():
+            T_cw = np.linalg.inv(scene.poses_world[f])
+            gt_T_co = T_cw @ gt_obj.poses_world[f]
+            errs.append(np.linalg.norm(T_co[:3, 3] - gt_T_co[:3, 3]))
+    assert float(np.median(errs)) < 0.5
