@@ -41,6 +41,9 @@ def main(argv=None):
                          "KITTI forwardFlow/ maps)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--platform", default="auto",
+                    help="pin the JAX platform (cpu/tpu/...); 'auto' keeps "
+                         "the environment's default backend")
     ap.add_argument("--save-checkpoint", metavar="NPZ",
                     help="write full system state (map, trajectory, object "
                          "tracks) at shutdown — the reference's SaveMap "
@@ -56,11 +59,23 @@ def main(argv=None):
                     help="run mapping inline on the tracking thread instead "
                          "of the async worker (the reference always runs its "
                          "mapping threads; async is the CLI default)")
+    ap.add_argument("--eval-gt", metavar="POSES",
+                    help="ground-truth camera poses (KITTI 12-float rows); "
+                         "ATE/RPE go into stats.json (synthetic runs "
+                         "evaluate against the scene GT automatically)")
+    ap.add_argument("--eval-object-gt", metavar="LABELS",
+                    help="KITTI tracking label file; object center/heading "
+                         "errors go into stats.json (defaults to the "
+                         "sequence's own labels in mode 4 dataset runs)")
     ap.add_argument("--viz", type=int, default=0, metavar="N",
                     help="save a keypoint/box/cuboid overlay PNG every N "
                          "frames plus a final top-down map (headless "
                          "counterpart of the reference's Pangolin viewer)")
     args = ap.parse_args(argv)
+
+    from pointslot_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
 
     if not args.no_compile_cache:
         from pointslot_tpu.utils.compile_cache import enable_compile_cache
@@ -92,11 +107,11 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     if args.synthetic:
-        frames = _synthetic_frames(args, cfg)
+        frames, eval_ctx = _synthetic_frames(args, cfg)
     else:
         if not args.data:
             ap.error("--data or --synthetic required")
-        frames = _kitti_frames(args, cfg)
+        frames, eval_ctx = _kitti_frames(args, cfg)
 
     from pointslot_tpu.slam.system import System
 
@@ -126,6 +141,8 @@ def main(argv=None):
     system.save_trajectory_kitti(os.path.join(args.out, "CameraTrajectory.txt"))
     if system._object_system is not None:
         system.save_object_detections_kitti(os.path.join(args.out, "ObjectDetections"))
+        system.save_object_poses_camera_frame(
+            os.path.join(args.out, "ObjectPosesCF.txt"))
         system.save_trajectory_camera_and_objects(
             os.path.join(args.out, "CameraAndObjectTrajectory.txt")
         )
@@ -136,10 +153,45 @@ def main(argv=None):
         save_checkpoint(args.save_checkpoint, system)
     stats = system.shutdown()
     stats.update({"frames": n, "wall_s": wall, "fps": n / max(wall, 1e-9)})
+    evaluation = _evaluate(args, system, eval_ctx)
+    if evaluation:
+        stats["evaluation"] = evaluation
     print(json.dumps(stats))
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return 0
+
+
+def _evaluate(args, system, eval_ctx):
+    """Built-in ATE/RPE + object-pose metrics (pointslot_tpu/evaluate.py);
+    the on-disk outputs stay byte-compatible with evo / the KITTI devkit
+    for external cross-checks."""
+    import numpy as np
+
+    from pointslot_tpu import evaluate as ev
+
+    out = {}
+    gt_poses = eval_ctx.get("gt_poses")
+    if args.eval_gt:
+        from pointslot_tpu.io.writers import read_trajectory_kitti
+
+        gt_poses = read_trajectory_kitti(args.eval_gt)
+    if gt_poses is not None:
+        out["camera"] = ev.evaluate_trajectory_entries(
+            system.camera_trajectory(), np.asarray(gt_poses))
+    rows = eval_ctx.get("object_gt_rows")
+    if args.eval_object_gt:
+        from pointslot_tpu.datasets.kitti import read_kitti_object_rows
+
+        rows = read_kitti_object_rows(args.eval_object_gt)
+    if rows is not None and len(rows) and system._object_system is not None:
+        est = {
+            (f, tr.track_id): tr.poses_cf[f]
+            for tr in system._object_system.all_tracks
+            for f in tr.poses_cf
+        }
+        out["objects"] = ev.object_pose_errors(est, rows)
+    return out
 
 
 def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
@@ -181,6 +233,8 @@ def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
 
 
 def _synthetic_frames(args, cfg):
+    import numpy as np
+
     from pointslot_tpu.datasets.synthetic import (
         SyntheticRenderer, make_scene, offline_detection_rows,
     )
@@ -190,14 +244,20 @@ def _synthetic_frames(args, cfg):
                        n_objects=args.synthetic_objects)
     renderer = SyntheticRenderer(scene)
     rows = offline_detection_rows(scene)
-    for i in range(scene.n_frames):
-        left, right, inst = renderer.render(i)
-        dets = None
-        if cfg.slot_mode == 4:
-            frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
-            dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
-                    for r in frame_rows]
-        yield i, i / cfg.camera.fps, left, right, dets, inst, None
+
+    def gen():
+        for i in range(scene.n_frames):
+            left, right, inst = renderer.render(i)
+            dets = None
+            if cfg.slot_mode == 4:
+                frame_rows = rows[(rows[:, 0] == i) & (rows[:, 1] >= 0)]
+                dets = [Detection.from_row24(r, mask_value=int(r[1]) + 1)
+                        for r in frame_rows]
+            yield i, i / cfg.camera.fps, left, right, dets, inst, None
+
+    ctx = {"gt_poses": np.stack(scene.poses_world),
+           "object_gt_rows": rows[rows[:, 1] >= 0] if len(rows) else None}
+    return gen(), ctx
 
 
 def _kitti_frames(args, cfg):
@@ -219,10 +279,13 @@ def _kitti_frames(args, cfg):
         return (i, float(ts[i]), left, right,
                 (dets if cfg.slot_mode == 4 else None), inst, flow)
 
+    ctx = {"gt_poses": getattr(seq, "gt_poses", None),
+           "object_gt_rows": seq.rows if getattr(seq, "rows", None) is not None
+           and len(seq.rows) else None}
     # decode ahead on background threads; the tracking loop never waits
     # on disk (the reference imreads synchronously per frame,
     # Examples/Stereo/stereo_kitti.cc:108-124)
-    yield from prefetch(load, len(seq), depth=4, workers=2)
+    return prefetch(load, len(seq), depth=4, workers=2), ctx
 
 
 if __name__ == "__main__":

@@ -167,7 +167,7 @@ class System:
             self._fast.refresh(self.map, self.tracker.ref_kf)
 
     def _process_keyframe_sync(self, kf: int):
-        with self.map_lock:
+        with self.profiler.timer("mapping"), self.map_lock:
             self.local_mapper.process_keyframe(kf)
             if self.loop_closer is not None:
                 self.loop_closer.on_keyframe(kf)

@@ -24,6 +24,14 @@ def test_run_synthetic_mode4(tmp_path):
     assert rows.shape[1] == 12
     # camera-and-object trajectory files
     assert (out / "CameraAndObjectTrajectory.txt").exists()
+    # camera-frame object poses (SaveObjectDetectionResultsInCameraFrame
+    # analog) feed the built-in object evaluator
+    assert (out / "ObjectPosesCF.txt").exists()
+    # built-in evaluation: synthetic runs score themselves against scene GT
+    ev = stats["evaluation"]
+    assert ev["camera"]["ate"]["rmse"] < 0.5
+    assert ev["camera"]["rpe"]["n"] >= 1
+    assert ev["objects"]["n_gt"] > 0
 
 
 def test_gba_path_runs(tmp_path):
