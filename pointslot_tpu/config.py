@@ -159,6 +159,11 @@ class ObjectConfig:
     # src/ObjectLocalMapping.cpp:375)
     ba_window_kf_ids: int = 120
     ba_min_covisible_kfs: int = 8
+    # pose-slot ceiling for one windowed object BA problem; the actual
+    # solve is bucketed to the next power of two of the live window size
+    # (small windows stay cheap, long ones keep the reference's full
+    # 120-id span instead of being silently truncated)
+    ba_window_pose_cap: int = 128
     # SE(3) constant-velocity priors between consecutive object KFs in the
     # BA window (live form of EdgeMotionModel/EdgeSmoothTerm, reference
     # include/g2o_Object.h:361-405); 0 = off, matching the reference's

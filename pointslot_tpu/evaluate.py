@@ -188,6 +188,81 @@ def object_pose_errors(est_poses_cf: Dict[tuple, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# 2D MOT metrics (the DeepSORT association quality story)
+# ---------------------------------------------------------------------------
+
+def bbox_iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two (x, y, w, h) boxes."""
+    ax0, ay0, aw, ah = a
+    bx0, by0, bw, bh = b
+    ix0, iy0 = max(ax0, bx0), max(ay0, by0)
+    ix1, iy1 = min(ax0 + aw, bx0 + bw), min(ay0 + ah, by0 + bh)
+    iw, ih = max(ix1 - ix0, 0.0), max(iy1 - iy0, 0.0)
+    inter = iw * ih
+    union = aw * ah + bw * bh - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def mot_metrics(est_tracks: Dict[int, Dict[int, np.ndarray]],
+                gt_rows: np.ndarray,
+                iou_threshold: float = 0.5) -> Dict[str, object]:
+    """CLEAR-MOT 2D tracking metrics against KITTI tracking GT rows.
+
+    est_tracks: {frame_id: {est_track_id: bbox xywh}} — the output of an
+    online tracker (mode-3 DeepSORT ids need no GT alignment: matching is
+    by per-frame IoU, identity is scored by id-switch counting, the
+    standard CLEAR-MOT protocol). Returns MOTA, MOTP (mean IoU of matched
+    pairs), id switches, misses, false positives.
+    """
+    gt_rows = np.asarray(gt_rows)
+    gt_by_frame: Dict[int, list] = {}
+    for row in gt_rows:
+        if row[17] == 0 or row[1] < 0:
+            continue
+        gt_by_frame.setdefault(int(row[0]), []).append(
+            (int(row[1]), np.asarray(row[5:9], np.float64)))
+    n_gt = sum(len(v) for v in gt_by_frame.values())
+    last_match: Dict[int, int] = {}      # gt id -> est id of last match
+    misses = fps_ = switches = matches = 0
+    iou_sum = 0.0
+    for f in sorted(set(gt_by_frame) | set(est_tracks)):
+        gt = gt_by_frame.get(f, [])
+        est = list(est_tracks.get(f, {}).items())
+        # greedy IoU matching (highest IoU first)
+        pairs = sorted(
+            ((bbox_iou_xywh(g[1], e[1]), gi, ei)
+             for gi, g in enumerate(gt) for ei, e in enumerate(est)),
+            reverse=True, key=lambda t: t[0],
+        )
+        used_g, used_e = set(), set()
+        frame_matches = []
+        for iou, gi, ei in pairs:
+            if iou < iou_threshold or gi in used_g or ei in used_e:
+                continue
+            used_g.add(gi)
+            used_e.add(ei)
+            frame_matches.append((gt[gi][0], est[ei][0], iou))
+        matches += len(frame_matches)
+        misses += len(gt) - len(used_g)
+        fps_ += len(est) - len(used_e)
+        for gt_id, est_id, iou in frame_matches:
+            if gt_id in last_match and last_match[gt_id] != est_id:
+                switches += 1
+            last_match[gt_id] = est_id
+            iou_sum += iou
+    mota = 1.0 - (misses + fps_ + switches) / n_gt if n_gt else None
+    return {
+        "mota": float(mota) if mota is not None else None,
+        "motp_iou": float(iou_sum / matches) if matches else None,
+        "matches": matches,
+        "misses": misses,
+        "false_positives": fps_,
+        "id_switches": switches,
+        "n_gt": n_gt,
+    }
+
+
+# ---------------------------------------------------------------------------
 # run-level helper
 # ---------------------------------------------------------------------------
 

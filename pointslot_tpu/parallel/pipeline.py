@@ -137,6 +137,15 @@ def _mapping_stage_main(cfg, conn):
     import dataclasses
     import os
 
+    aff = os.environ.get("POINTSLOT_STAGE_AFFINITY")
+    if aff:
+        # deployment emulation on one machine: pin the mapping stage to its
+        # own cores so the two "hosts" do not contend (bench_scaling.py)
+        try:
+            os.sched_setaffinity(0, {int(x) for x in aff.split(",")})
+        except (ValueError, OSError, AttributeError):   # pragma: no cover
+            pass
+
     if cfg.runtime.pipeline_child_platform:
         # sitecustomize may have preloaded jax already, so the env var
         # alone can be too late — flip the config knob as well (it is
@@ -145,6 +154,15 @@ def _mapping_stage_main(cfg, conn):
         import jax
 
         jax.config.update("jax_platforms", cfg.runtime.pipeline_child_platform)
+
+    try:
+        # the stage starts mid-run: hit the persistent compile cache rather
+        # than cold-compiling the mapping jits while keyframes queue up
+        from pointslot_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:   # pragma: no cover — cache is an optimization only
+        pass
 
     from pointslot_tpu.slam.local_mapping import LocalMapper
     from pointslot_tpu.slam.map_state import MapState
@@ -273,8 +291,15 @@ class PipelineMapping:
             pkt = self._send_q.get()
             if pkt is None:
                 return
+            tag, payload = pkt
+            if not isinstance(payload, bytes):
+                # serialize off the tracking thread (collect() must run
+                # under the tracking thread's consistent map view; the npz
+                # encode need not)
+                payload = encode_arrays(payload)
+                self.bytes_sent += len(payload)
             try:
-                self._conn.send(pkt)
+                self._conn.send((tag, payload))
             except (BrokenPipeError, OSError):   # pragma: no cover
                 return
 
@@ -282,11 +307,9 @@ class PipelineMapping:
     def on_new_keyframe(self, kf: int):
         delta = self.replica.collect()
         delta["new_kf"] = np.int64(kf)
-        blob = encode_arrays(delta)
-        self._send_q.put(("kf", blob))
+        self._send_q.put(("kf", delta))
         self._in_flight += 1
         self.packets_sent += 1
-        self.bytes_sent += len(blob)
 
     def poll(self, block: bool = False):
         """Apply any pending mapping-host updates (under the map lock)."""

@@ -191,6 +191,13 @@ def _evaluate(args, system, eval_ctx):
             for f in tr.poses_cf
         }
         out["objects"] = ev.object_pose_errors(est, rows)
+        # 2D MOT association quality (meaningful in mode 3, where track
+        # ids come from the online DeepSORT, not the GT)
+        boxes = {}
+        for tr in system._object_system.all_tracks:
+            for f, det in tr.detections.items():
+                boxes.setdefault(int(f), {})[tr.track_id] = det.bbox
+        out["mot"] = ev.mot_metrics(boxes, rows)
     return out
 
 

@@ -50,6 +50,14 @@ def heading_y(R: np.ndarray) -> float:
     return float(np.arctan2(R[0, 2], R[2, 2]))
 
 
+def _pose_bucket(n: int, cap: int) -> int:
+    """Next power-of-two pose capacity (>=16) for a window of n poses."""
+    b = 16
+    while b < n and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
 @dataclass
 class ObjectFrameFeatures:
     """Object-region features of the current frame, with detection labels."""
@@ -409,27 +417,38 @@ class ObjectSystem:
                         built.append((track, epoch, ba_inputs))
         if not built:
             return
-        probs = local_ba.stack_problems([b[2][0] for b in built])
-        pri_list = [b[2][3] for b in built]
-        priors = None
-        if any(p is not None for p in pri_list):
-            priors = local_ba.stack_problems([
-                p if p is not None else local_ba.empty_motion_priors()
-                for p in pri_list
-            ])
-        results = local_ba.bundle_adjust_batched(
-            probs, **self._cam_args, priors=priors
-        )
-        self.ba_calls += len(built)
+        # group by problem shape (windows bucket their pose capacity to
+        # powers of two); each shape group solves in one vmapped dispatch
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for b in built:
+            prob = b[2][0]
+            groups[(prob.poses.shape[0], prob.points.shape[0])].append(b)
         import threading
 
-        self.ba_threads.add(threading.get_ident())
-        with self._obj_lock:
-            for bi, (track, epoch, (prob, slot_edge, meta, _)) in enumerate(built):
-                if getattr(track, "epoch", 0) != epoch:
-                    continue
-                res = local_ba.BAResult(*(np.asarray(x[bi]) for x in results))
-                self._apply_object_ba(track, res, slot_edge, meta)
+        for (P_cap, _), grp in groups.items():
+            probs = local_ba.stack_problems([b[2][0] for b in grp])
+            pri_list = [b[2][3] for b in grp]
+            priors = None
+            if any(p is not None for p in pri_list):
+                priors = local_ba.stack_problems([
+                    p if p is not None
+                    else local_ba.empty_motion_priors(R_cap=P_cap)
+                    for p in pri_list
+                ])
+            results = local_ba.bundle_adjust_batched(
+                probs, **self._cam_args, priors=priors
+            )
+            self.ba_calls += len(grp)
+            self.ba_threads.add(threading.get_ident())
+            with self._obj_lock:
+                for bi, (track, epoch, (prob, slot_edge, meta, _)) in enumerate(grp):
+                    if getattr(track, "epoch", 0) != epoch:
+                        continue
+                    res = local_ba.BAResult(
+                        *(np.asarray(x[bi]) for x in results))
+                    self._apply_object_ba(track, res, slot_edge, meta)
 
     def _unproject_local(self, okf, sel):
         cam = self.cfg.camera
@@ -805,19 +824,27 @@ class ObjectSystem:
         if cull.any():
             track.cull_points(valid[cull])
 
-    def _build_object_ba(self, track: ObjectTrack, okf_idx: int):
+    def _build_object_ba(self, track: ObjectTrack, okf_idx: int,
+                         P_cap: int = None):
         """Assemble the windowed object BA problem: covisible object KFs
         within the 120-id window with roll/pitch frozen (reference
         Optimizer::ObjectLocalBundleAdjustment, window src/Optimizer.cc:47,
         VertexSE3Fix :836-838). Called with the object lock held; returns
-        (prob, slot_edge, meta) for the lock-free solve, or None."""
+        (prob, slot_edge, meta) for the lock-free solve, or None.
+
+        P_cap: pose-slot capacity override (callers batching several
+        problems pass a shared bucket); default = next power of two of the
+        live window size, so small windows solve cheap and long ones keep
+        the reference's full 120-id span."""
         window_all = sorted(set([okf_idx] + [
             int(i)
             for i in track.covisible_keyframes(okf_idx, min_weight=5)
             if okf_idx - int(i) <= self.cfg.objects.ba_window_kf_ids
         ]))
-        P_cap = 32
-        window_ids = window_all[-P_cap:]
+        hard_cap = self.cfg.objects.ba_window_pose_cap
+        if P_cap is None:
+            P_cap = _pose_bucket(len(window_all), hard_cap)
+        window_ids = window_all[-min(P_cap, hard_cap):]
         if len(window_all) > len(window_ids):
             from pointslot_tpu.utils.profiling import PROFILER
 
@@ -867,12 +894,12 @@ class ObjectSystem:
             P_cap=P_cap, L_cap=L_cap, K=self.cfg.ba.max_obs_per_point,
             dof_mask=dof,
         )
-        priors = self._build_motion_priors(track, kfs)
+        priors = self._build_motion_priors(track, kfs, R_cap=P_cap)
         meta = dict(kfs=kfs, fixed=fixed, pts=pts, window_ids=window_ids,
                     e_pose=e_pose, e_point=e_point)
         return prob, slot_edge, meta, priors
 
-    def _build_motion_priors(self, track: ObjectTrack, kfs):
+    def _build_motion_priors(self, track: ObjectTrack, kfs, R_cap: int = 32):
         """Constant-velocity SE(3) priors between consecutive window KFs
         (the live form of the reference's motion-model/smoothness edges,
         include/g2o_Object.h:361-405): predicted T_co(j) =
@@ -891,7 +918,7 @@ class ObjectSystem:
             weights.append(w / gap)
         return local_ba.build_motion_priors(
             idx=np.asarray(idx), T_rel=np.stack(T_rel).astype(np.float32),
-            weight=np.asarray(weights), R_cap=32,
+            weight=np.asarray(weights), R_cap=R_cap,
         )
 
     def _apply_object_ba(self, track: ObjectTrack, result, slot_edge, meta):

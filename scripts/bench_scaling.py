@@ -1,0 +1,151 @@
+"""Scaling-efficiency measurement for the 2-stage pipeline topology (PP).
+
+BASELINE.md pins a scaling target: >= 70% efficiency at 2 hosts. The
+cross-host form of the reference's thread topology (tracking thread +
+LocalMapping/LoopClosing threads, reference src/System.cc:99-141) is
+`parallel/pipeline.py`: the tracking front-end on host 1, the map back-end
+on host 2, exchanging row-level MapState deltas over a packet channel. On
+this one-machine environment the two stages run as two OS processes with
+separate JAX runtimes over a pipe — the identical code path a 2-host
+deployment drives over DCN sockets — so the overlap measurement transfers.
+
+Measured, mode-0 synthetic sequence (warm jit, rendering excluded):
+
+- serial fps      — one process runs frontend + tracking AND mapping BA.
+- pipeline fps    — stage 1 (tracking host) + stage 2 (mapping host),
+                    including end-of-run drain of in-flight mapping work.
+- ideal fps       — the stage-1-bound pipelining limit: serial wall time
+                    minus the (profiler-measured) mapping component, i.e.
+                    what a perfectly hidden back-end would give.
+- overlap efficiency = (pipeline fps) / (ideal fps). This is the honest
+  2-stage pipeline metric: with an unbalanced pipeline (mapping runs at
+  keyframe rate, tracking at frame rate) raw speedup is bounded by the
+  stage split, not by the host count.
+
+Prints one JSON object per line.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_cfg(pipeline: bool):
+    from pointslot_tpu.config import SystemConfig
+
+    cfg = SystemConfig(slot_mode=0)
+    # straight corridor run: loop closing never fires; disable it so the
+    # mapping stage is the local-BA work and the child skips vocab training
+    return cfg.replace(
+        runtime=dataclasses.replace(
+            cfg.runtime, pipeline_stages=pipeline, profile=True),
+        loop=dataclasses.replace(cfg.loop, enabled=False),
+        tracking=dataclasses.replace(
+            cfg.tracking, min_init_stereo_features=350),
+    )
+
+
+def _run(frames, pipeline: bool, warm: int):
+    """Drive the System over pre-rendered frames; return (wall_s over the
+    timed frames incl. drain, profiler stage summary, n timed frames)."""
+    from pointslot_tpu.slam.system import System
+    from pointslot_tpu.utils.profiling import PROFILER
+
+    PROFILER.reset()
+    system = System(_make_cfg(pipeline))
+    for i, (left, right) in enumerate(frames[:warm]):
+        system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)
+    if pipeline and system._pipeline is not None:
+        system._pipeline.poll(block=True)   # drain warmup work
+    t0 = time.perf_counter()
+    for i, (left, right) in enumerate(frames[warm:], start=warm):
+        system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)
+    if pipeline and system._pipeline is not None:
+        system._pipeline.poll(block=True)   # count in-flight mapping work
+    wall = time.perf_counter() - t0
+    stats = system.shutdown()
+    return wall, stats.get("profile", {}).get("stages", {}), len(frames) - warm
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="auto",
+                    help="pin the JAX platform (cpu/tpu/...)")
+    ap.add_argument("--frames", type=int, default=48)
+    args = ap.parse_args()
+
+    from pointslot_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
+
+    # emulate two hosts on one machine: each stage gets half the cores
+    # (otherwise the stages contend for the same CPUs and the measurement
+    # conflates contention with overlap loss). The serial baseline runs on
+    # the SAME half, so both topologies see one host's worth of compute.
+    n_cpu = os.cpu_count() or 2
+    half = max(n_cpu // 2, 1)
+    try:
+        os.sched_setaffinity(0, set(range(half)))
+        os.environ["POINTSLOT_STAGE_AFFINITY"] = ",".join(
+            str(c) for c in range(half, max(n_cpu, half + 1)))
+    except (AttributeError, OSError):
+        pass
+
+    from pointslot_tpu.datasets.synthetic import SyntheticRenderer, make_scene
+    from pointslot_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()   # the mapping-host process starts hot
+
+    n_frames, warm = args.frames, 8
+    scene = make_scene(n_frames=n_frames, n_points=2500, n_objects=0,
+                       seed=3, forward_speed=0.6)
+    renderer = SyntheticRenderer(scene)
+    frames = []
+    for i in range(n_frames):
+        left, right, _ = renderer.render(i)
+        frames.append((np.asarray(left, np.uint8), np.asarray(right, np.uint8)))
+
+    # jit warm-up pass (fills the in-process cache AND the persistent
+    # compile cache the mapping-host process reads)
+    _run(frames[: warm + 4], pipeline=False, warm=1)
+
+    wall_serial, stages, n = _run(frames, pipeline=False, warm=warm)
+    mapping_s = stages.get("mapping", {}).get("total_s", 0.0)
+    fps_serial = n / wall_serial
+    # stage-1-bound ideal: mapping fully hidden behind tracking
+    ideal_wall = max(wall_serial - mapping_s, 1e-9)
+    fps_ideal = n / ideal_wall
+
+    wall_pp, _, n2 = _run(frames, pipeline=True, warm=warm)
+    fps_pp = n2 / wall_pp
+
+    speedup = fps_pp / fps_serial
+    efficiency = fps_pp / fps_ideal
+
+    for rec in (
+        {"metric": "pp_serial_fps", "value": round(fps_serial, 2),
+         "unit": "frames/s"},
+        {"metric": "pp_pipeline_fps", "value": round(fps_pp, 2),
+         "unit": "frames/s", "hosts": 2},
+        {"metric": "pp_ideal_fps", "value": round(fps_ideal, 2),
+         "unit": "frames/s",
+         "note": "serial wall minus mapping component (stage-1 bound)"},
+        {"metric": "pp_speedup_2hosts", "value": round(speedup, 3),
+         "unit": "x",
+         "mapping_share_of_serial": round(mapping_s / wall_serial, 3)},
+        {"metric": "pp_overlap_efficiency_2hosts",
+         "value": round(efficiency, 3), "unit": "ratio", "target": 0.70},
+    ):
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,47 @@ def test_object_pose_errors_coverage_and_filters():
     assert out["heading_rmse_deg"] < 1.5
 
 
+def test_mot_metrics_perfect_and_switch():
+    gt = _gt_rows(n_frames=6, tracks=(1, 3))
+    # bboxes distinct per track
+    for r in gt:
+        r[5:9] = [100 * r[1], 50, 40, 30]
+    est = {
+        int(f): {int(tid): np.array([100 * tid, 50, 40, 30])
+                 for tid in (1, 3)}
+        for f in range(6)
+    }
+    out = ev.mot_metrics(est, gt)
+    assert out["mota"] == 1.0 and out["id_switches"] == 0
+    assert out["motp_iou"] > 0.99 and out["misses"] == 0
+
+    # GT track 1 covered by est id 7 for frames 0-2 then est id 8: 1 switch
+    est = {}
+    for f in range(6):
+        eid = 7 if f < 3 else 8
+        est[f] = {eid: np.array([100.0, 50, 40, 30]),
+                  30: np.array([300.0, 50, 40, 30])}
+    out = ev.mot_metrics(est, gt)
+    assert out["id_switches"] == 1
+    assert out["matches"] == 12 and out["misses"] == 0
+    assert out["false_positives"] == 0
+    assert abs(out["mota"] - (1.0 - 1 / 12)) < 1e-9
+
+
+def test_mot_metrics_misses_and_false_positives():
+    gt = _gt_rows(n_frames=4, tracks=(1,))
+    for r in gt:
+        r[5:9] = [100, 50, 40, 30]
+    # est misses frames 2-3, and adds a spurious box each frame
+    est = {f: {1: np.array([100.0, 50, 40, 30])} for f in range(2)}
+    for f in range(4):
+        est.setdefault(f, {})[99] = np.array([900.0, 50, 40, 30])
+    out = ev.mot_metrics(est, gt)
+    assert out["misses"] == 2 and out["false_positives"] == 4
+    assert out["matches"] == 2
+    assert abs(out["mota"] - (1.0 - 6 / 4)) < 1e-9  # MOTA can go negative
+
+
 def test_cli_roundtrip(tmp_path):
     from pointslot_tpu.io.writers import write_trajectory_kitti
 

@@ -192,3 +192,21 @@ def test_object_ba_motion_prior():
             errs.append(np.linalg.norm(T_co[:3, 3] - gt_T_co[:3, 3]))
     med = float(np.median(errs))
     assert med < 0.5, f"median object center error with prior {med:.3f} m"
+
+
+def test_object_ba_window_bucketing():
+    """The windowed object BA sizes its pose capacity to the live window
+    (power-of-two buckets up to ObjectConfig.ba_window_pose_cap=128 — the
+    reference's 120-id span, src/Optimizer.cc:47, no longer truncates to a
+    fixed 32)."""
+    from pointslot_tpu.config import SystemConfig
+    from pointslot_tpu.slam.object_system import _pose_bucket
+
+    assert _pose_bucket(5, 128) == 16
+    assert _pose_bucket(16, 128) == 16
+    assert _pose_bucket(17, 128) == 32
+    assert _pose_bucket(100, 128) == 128
+    assert _pose_bucket(300, 128) == 128   # hard ceiling
+    assert _pose_bucket(40, 32) == 32      # config can lower the ceiling
+    cap = SystemConfig().objects.ba_window_pose_cap
+    assert cap >= 120, "pose cap must cover the reference's 120-id window"
