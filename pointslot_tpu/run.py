@@ -55,6 +55,8 @@ def main(argv=None):
                     help="device-resident camera tracking: ONE fused XLA "
                          "dispatch per frame with keyframe-rate map-table "
                          "refresh (mode-0 frames without masks)")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-stage timing registry + counters in stats.json")
     ap.add_argument("--sync-mapping", action="store_true",
                     help="run mapping inline on the tracking thread instead "
                          "of the async worker (the reference always runs its "
@@ -103,6 +105,9 @@ def main(argv=None):
     if args.device_tracking:
         cfg = cfg.replace(runtime=cfg.runtime.__class__(
             **{**cfg.runtime.__dict__, "device_resident_tracking": True}))
+    if args.profile:
+        cfg = cfg.replace(runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "profile": True}))
 
     os.makedirs(args.out, exist_ok=True)
 
