@@ -60,6 +60,12 @@ def read_kitti_object_rows(path: str, n_frames: Optional[int] = None) -> np.ndar
     [0] frame [1] track [2] trunc [3] occ [4] alpha [5:9] bbox xywh
     [9:12] dims (l, h, w) [12:15] location cam-frame [15] rot_y [16] score
     [17] type_id (1 = vehicle) [18] is_moving [19:24] zeros.
+
+    KITTI labels give the 3D-box BOTTOM-face center; rows store the
+    GEOMETRIC center (y - h/2), the framework-wide object-frame convention
+    (io/writers.py converts back on export; the VKITTI reader shifts the
+    same way). KITTI tracking labels carry no moving/static flag, so
+    is_moving is always 1 here (the VKITTI reader fills it for real).
     """
     rows = []
     with open(path) as f:
@@ -74,7 +80,8 @@ def read_kitti_object_rows(path: str, n_frames: Optional[int] = None) -> np.ndar
             trunc, occ, alpha = (float(parts[i]) for i in (3, 4, 5))
             x0, y0, x1, y1 = (float(parts[i]) for i in (6, 7, 8, 9))
             h, w, l = (float(parts[i]) for i in (10, 11, 12))
-            loc = [float(parts[i]) for i in (13, 14, 15)]
+            loc = [float(parts[13]), float(parts[14]) - h / 2.0,
+                   float(parts[15])]
             rot_y = float(parts[16])
             row = np.zeros(24)
             row[0], row[1] = frame_id, track_id

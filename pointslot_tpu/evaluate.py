@@ -145,7 +145,11 @@ def object_pose_errors(est_poses_cf: Dict[tuple, np.ndarray],
 
     Track ids must be GT ids (SLOT modes 4/2; mode 3 online DeepSORT ids
     need an external id mapping first). Returns overall + per-track center
-    RMSE (m) and heading RMSE (deg), and coverage = matched / GT rows."""
+    RMSE (m) and heading RMSE (deg), and coverage = matched / GT rows.
+
+    moving_only filters on the rows' is_moving column — populated by the
+    Virtual KITTI reader; plain KITTI tracking labels carry no such flag
+    (the reader leaves it 1, so the filter passes everything there)."""
     gt_rows = np.asarray(gt_rows)
     if moving_only and len(gt_rows):
         gt_rows = gt_rows[gt_rows[:, 18] > 0]
@@ -191,16 +195,18 @@ def object_pose_errors(est_poses_cf: Dict[tuple, np.ndarray],
 # 2D MOT metrics (the DeepSORT association quality story)
 # ---------------------------------------------------------------------------
 
-def bbox_iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
-    """IoU of two (x, y, w, h) boxes."""
-    ax0, ay0, aw, ah = a
-    bx0, by0, bw, bh = b
-    ix0, iy0 = max(ax0, bx0), max(ay0, by0)
-    ix1, iy1 = min(ax0 + aw, bx0 + bw), min(ay0 + ah, by0 + bh)
-    iw, ih = max(ix1 - ix0, 0.0), max(iy1 - iy0, 0.0)
-    inter = iw * ih
-    union = aw * ah + bw * bh - inter
-    return float(inter / union) if union > 0 else 0.0
+def bbox_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of (N, 4) x (M, 4) xywh boxes -> (N, M)."""
+    a = np.asarray(a, np.float64).reshape(-1, 4)
+    b = np.asarray(b, np.float64).reshape(-1, 4)
+    ix0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    iy0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    ix1 = np.minimum(a[:, None, 0] + a[:, None, 2], b[None, :, 0] + b[None, :, 2])
+    iy1 = np.minimum(a[:, None, 1] + a[:, None, 3], b[None, :, 1] + b[None, :, 3])
+    inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+    union = (a[:, None, 2] * a[:, None, 3] + b[None, :, 2] * b[None, :, 3]
+             - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
 def mot_metrics(est_tracks: Dict[int, Dict[int, np.ndarray]],
@@ -229,19 +235,22 @@ def mot_metrics(est_tracks: Dict[int, Dict[int, np.ndarray]],
         gt = gt_by_frame.get(f, [])
         est = list(est_tracks.get(f, {}).items())
         # greedy IoU matching (highest IoU first)
-        pairs = sorted(
-            ((bbox_iou_xywh(g[1], e[1]), gi, ei)
-             for gi, g in enumerate(gt) for ei, e in enumerate(est)),
-            reverse=True, key=lambda t: t[0],
-        )
         used_g, used_e = set(), set()
         frame_matches = []
-        for iou, gi, ei in pairs:
-            if iou < iou_threshold or gi in used_g or ei in used_e:
-                continue
-            used_g.add(gi)
-            used_e.add(ei)
-            frame_matches.append((gt[gi][0], est[ei][0], iou))
+        if gt and est:
+            ious = bbox_iou_matrix(np.stack([g[1] for g in gt]),
+                                   np.stack([e[1] for e in est]))
+            order = np.argsort(ious, axis=None)[::-1]
+            for flat in order:
+                gi, ei = np.unravel_index(flat, ious.shape)
+                iou = ious[gi, ei]
+                if iou < iou_threshold:
+                    break
+                if gi in used_g or ei in used_e:
+                    continue
+                used_g.add(int(gi))
+                used_e.add(int(ei))
+                frame_matches.append((gt[gi][0], est[ei][0], float(iou)))
         matches += len(frame_matches)
         misses += len(gt) - len(used_g)
         fps_ += len(est) - len(used_e)
@@ -305,7 +314,9 @@ def main(argv: Optional[list] = None) -> dict:
     po.add_argument("--est", required=True,
                     help="camera-frame object pose file (frame track 12 floats)")
     po.add_argument("--gt", required=True, help="KITTI ObjectTracking.txt")
-    po.add_argument("--moving-only", action="store_true")
+    po.add_argument("--moving-only", action="store_true",
+                    help="score only rows flagged moving (Virtual KITTI GT; "
+                         "plain KITTI labels carry no flag — no-op there)")
     args = p.parse_args(argv)
 
     if args.cmd == "traj":

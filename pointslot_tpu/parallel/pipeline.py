@@ -277,6 +277,7 @@ class PipelineMapping:
         self._proc.start()
         child.close()
         self._in_flight = 0
+        self._send_failed = False
         self.packets_sent = 0
         self.bytes_sent = 0
         self.bytes_received = 0
@@ -292,15 +293,22 @@ class PipelineMapping:
             if pkt is None:
                 return
             tag, payload = pkt
-            if not isinstance(payload, bytes):
-                # serialize off the tracking thread (collect() must run
-                # under the tracking thread's consistent map view; the npz
-                # encode need not)
-                payload = encode_arrays(payload)
-                self.bytes_sent += len(payload)
             try:
+                if not isinstance(payload, bytes):
+                    # serialize off the tracking thread (collect() must
+                    # run under the tracking thread's consistent map view;
+                    # the npz encode need not)
+                    payload = encode_arrays(payload)
+                    self.bytes_sent += len(payload)
                 self._conn.send((tag, payload))
             except (BrokenPipeError, OSError):   # pragma: no cover
+                self._send_failed = True
+                return
+            except Exception:   # pragma: no cover — encode failure must
+                import traceback  # not hang shutdown on the lost packet
+
+                traceback.print_exc()
+                self._send_failed = True
                 return
 
     # -- tracking-side hooks --------------------------------------------
@@ -314,7 +322,9 @@ class PipelineMapping:
     def poll(self, block: bool = False):
         """Apply any pending mapping-host updates (under the map lock)."""
         sys_ = self.system
-        while self._in_flight and (block or self._conn.poll()):
+        while self._in_flight and not self._send_failed and (
+            block or self._conn.poll()
+        ):
             tag, blob = self._conn.recv()
             self._in_flight -= 1
             if tag != "update":

@@ -158,9 +158,12 @@ def main(argv=None):
         save_checkpoint(args.save_checkpoint, system)
     stats = system.shutdown()
     stats.update({"frames": n, "wall_s": wall, "fps": n / max(wall, 1e-9)})
-    evaluation = _evaluate(args, system, eval_ctx)
-    if evaluation:
-        stats["evaluation"] = evaluation
+    try:
+        evaluation = _evaluate(args, system, eval_ctx)
+        if evaluation:
+            stats["evaluation"] = evaluation
+    except Exception as e:   # malformed GT must not discard the run stats
+        stats["evaluation_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(stats))
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

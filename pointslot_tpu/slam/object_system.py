@@ -824,27 +824,25 @@ class ObjectSystem:
         if cull.any():
             track.cull_points(valid[cull])
 
-    def _build_object_ba(self, track: ObjectTrack, okf_idx: int,
-                         P_cap: int = None):
+    def _build_object_ba(self, track: ObjectTrack, okf_idx: int):
         """Assemble the windowed object BA problem: covisible object KFs
         within the 120-id window with roll/pitch frozen (reference
         Optimizer::ObjectLocalBundleAdjustment, window src/Optimizer.cc:47,
         VertexSE3Fix :836-838). Called with the object lock held; returns
         (prob, slot_edge, meta) for the lock-free solve, or None.
 
-        P_cap: pose-slot capacity override (callers batching several
-        problems pass a shared bucket); default = next power of two of the
-        live window size, so small windows solve cheap and long ones keep
-        the reference's full 120-id span."""
+        The pose capacity is the next power-of-two bucket of the live
+        window size (ceiling ObjectConfig.ba_window_pose_cap), so small
+        windows solve cheap and long ones keep the reference's full 120-id
+        span; the batched solver groups problems by this shape."""
         window_all = sorted(set([okf_idx] + [
             int(i)
             for i in track.covisible_keyframes(okf_idx, min_weight=5)
             if okf_idx - int(i) <= self.cfg.objects.ba_window_kf_ids
         ]))
-        hard_cap = self.cfg.objects.ba_window_pose_cap
-        if P_cap is None:
-            P_cap = _pose_bucket(len(window_all), hard_cap)
-        window_ids = window_all[-min(P_cap, hard_cap):]
+        P_cap = _pose_bucket(len(window_all),
+                             self.cfg.objects.ba_window_pose_cap)
+        window_ids = window_all[-P_cap:]
         if len(window_all) > len(window_ids):
             from pointslot_tpu.utils.profiling import PROFILER
 

@@ -57,12 +57,15 @@ def _run(frames, pipeline: bool, warm: int):
     from pointslot_tpu.slam.system import System
     from pointslot_tpu.utils.profiling import PROFILER
 
-    PROFILER.reset()
     system = System(_make_cfg(pipeline))
     for i, (left, right) in enumerate(frames[:warm]):
         system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)
     if pipeline and system._pipeline is not None:
         system._pipeline.poll(block=True)   # drain warmup work
+    # reset AFTER warm-up so the mapping component is measured over the
+    # same span as the wall clock (init keyframes would otherwise inflate
+    # the mapping share and skew the ideal-fps bound)
+    PROFILER.reset()
     t0 = time.perf_counter()
     for i, (left, right) in enumerate(frames[warm:], start=warm):
         system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)

@@ -233,10 +233,12 @@ def test_cli_roundtrip(tmp_path):
     gt_lines = []
     for r in gt_rows:
         gt_lines.append(
+            # label Y is the box bottom-center (geometric center + h/2);
+            # the reader shifts back
             f"{int(r[0])} {int(r[1])} Car {r[2]:g} {r[3]:g} {r[4]:g} "
             f"{r[5]:g} {r[6]:g} {r[5] + r[7]:g} {r[6] + r[8]:g} "
             f"{r[10]:g} {r[11]:g} {r[9]:g} "
-            f"{r[12]:g} {r[13]:g} {r[14]:g} {r[15]:g}"
+            f"{r[12]:g} {r[13] + r[10] / 2:g} {r[14]:g} {r[15]:g}"
         )
     (tmp_path / "gt_obj.txt").write_text("\n".join(gt_lines) + "\n")
     out = ev.main(["objects", "--est", str(tmp_path / "obj.txt"),

@@ -50,11 +50,13 @@ def test_kitti_loader_roundtrip(tmp_path, rng):
         if r[1] < 0:
             continue
         # KITTI label: frame track type trunc occ alpha x0 y0 x1 y1 h w l x y z ry
+        # label Y is the 3D-box bottom-center (geometric center + h/2);
+        # the reader shifts back to the geometric center
         label_lines.append(
             f"{int(r[0])} {int(r[1])} Car {r[2]:.2f} {int(r[3])} {r[4]:.6f} "
             f"{r[5]:.2f} {r[6]:.2f} {r[5] + r[7]:.2f} {r[6] + r[8]:.2f} "
             f"{r[10]:.2f} {r[11]:.2f} {r[9]:.2f} "
-            f"{r[12]:.2f} {r[13]:.2f} {r[14]:.2f} {r[15]:.6f}"
+            f"{r[12]:.2f} {r[13] + r[10] / 2.0:.2f} {r[14]:.2f} {r[15]:.6f}"
         )
     (root / "ObjectTracking.txt").write_text("\n".join(label_lines) + "\n")
 

@@ -53,7 +53,9 @@ def kitti_root(tmp_path_factory):
         Image.fromarray(raw).save(inst_dir / name)
 
     # KITTI tracking label format: frame track type trunc occ alpha
-    # x0 y0 x1 y1 h w l X Y Z rot_y
+    # x0 y0 x1 y1 h w l X Y Z rot_y — Y is the 3D-box BOTTOM-center
+    # (= geometric center + h/2 in camera coords), per the KITTI spec;
+    # the reader shifts back to the geometric center
     lines = []
     for r in rows:
         if r[1] < 0:
@@ -63,7 +65,7 @@ def kitti_root(tmp_path_factory):
             f"{int(r[0])} {int(r[1])} Car {r[2]:.2f} {int(r[3])} {r[4]:.6f} "
             f"{x0:.2f} {y0:.2f} {x0 + w:.2f} {y0 + h:.2f} "
             f"{r[10]:.2f} {r[11]:.2f} {r[9]:.2f} "
-            f"{r[12]:.6f} {r[13]:.6f} {r[14]:.6f} {r[15]:.6f}"
+            f"{r[12]:.6f} {r[13] + r[10] / 2.0:.6f} {r[14]:.6f} {r[15]:.6f}"
         )
     (label_dir / "0000.txt").write_text("\n".join(lines) + "\n")
 

@@ -126,7 +126,9 @@ def test_vkitti_cli_flag_parses(vkitti_root, tmp_path):
                   cx=256.0, cy=128.0, bf=60.0),
         slot_mode=4,
     )
-    frames = list(run_mod._kitti_frames(_Args(), cfg))
+    gen, eval_ctx = run_mod._kitti_frames(_Args(), cfg)
+    frames = list(gen)
     assert len(frames) == N_FRAMES
+    assert "gt_poses" in eval_ctx
     fid, ts, left, right, dets, inst, flow = frames[0]
     assert fid == 0 and dets and inst is not None and flow is None
