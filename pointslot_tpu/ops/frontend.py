@@ -120,22 +120,27 @@ class StereoFrontend:
         scores_l = gated_scores(levels_l, gate)
         scores_r = gated_scores(levels_r, gate_r)
 
-        fl = FeatureSet(*ext._extract_from_scores(levels_l, scores_l))
+        feats_l, patches_l = ext._extract_from_scores(
+            levels_l, scores_l, return_patches=True
+        )
+        fl = FeatureSet(*feats_l)
         fr = FeatureSet(*ext._extract_from_scores(levels_r, scores_r))
 
         u_right, depth, valid_st = self._stereo_from_patches(
-            fl, fr, levels_l, levels_r
+            fl, fr, levels_l, levels_r, patches_l
         )
         return (
             fl.xy, fl.response, fl.angle, fl.level, fl.desc, fl.valid,
             u_right, depth,
         )
 
-    def _stereo_from_patches(self, fl, fr, levels_l, levels_r):
+    def _stereo_from_patches(self, fl, fr, levels_l, levels_r, patch_l):
         """Stereo matching with the SAD windows fetched by the patch DMA
         kernel: left features are laid out per-level (extraction order), so
         each level's segment slices statically and reads its own pyramid
-        image — no pyramid-stack gathers."""
+        image — no pyramid-stack gathers. The LEFT windows are the very
+        patches the extractor already DMA'd (same rounded level coords), so
+        only the right-image candidate windows are fetched here."""
         import numpy as np
 
         from pointslot_tpu.ops import stereo as st
@@ -154,20 +159,15 @@ class StereoFrontend:
         scaled_vl = jnp.round(yl * inv_scale).astype(jnp.int32)
         scaled_ur = jnp.round(u0r * inv_scale).astype(jnp.int32)
 
-        patches_l, patches_r = [], []
+        patches_r = []
         offset = 0
         for lvl, budget in enumerate(ext.budgets):
             seg = slice(offset, offset + budget)
             offset += budget
-            patches_l.append(
-                extract_patches(levels_l[lvl], scaled_ul[seg], scaled_vl[seg],
-                                use_pallas=ext.use_pallas)
-            )
             patches_r.append(
                 extract_patches(levels_r[lvl], scaled_ur[seg], scaled_vl[seg],
                                 use_pallas=ext.use_pallas)
             )
-        patch_l = jnp.concatenate(patches_l, axis=0)
         patch_r = jnp.concatenate(patches_r, axis=0)
 
         lh = self._lshapes[fl.level, 0]

@@ -78,6 +78,20 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> List[i
     return budgets
 
 
+@functools.lru_cache(maxsize=2)
+def _blur_band(P: int) -> np.ndarray:
+    """(P, P) banded matrix of the 7-tap sigma-2 Gaussian; row r holds
+    kernel[r'-r+3], zero outside — multiplying matches a SAME conv with
+    zero padding exactly."""
+    k = np.asarray(pyr_ops._gaussian_kernel(7, 2.0), np.float32)
+    B = np.zeros((P, P), np.float32)
+    for r in range(P):
+        for t in range(-3, 4):
+            if 0 <= r + t < P:
+                B[r, r + t] = k[t + 3]
+    return B
+
+
 def _moment_weights(patch: int) -> Tuple[np.ndarray, np.ndarray]:
     """(patch, patch) weight images for m10/m01 with the circular mask,
     centered at (patch//2, patch//2)."""
@@ -140,7 +154,10 @@ class ORBExtractor:
     # ------------------------------------------------------------------
     def _select_cells(self, score: jnp.ndarray, k: int):
         """Per-cell argmax then top-k by score. Returns (score, y, x) arrays
-        of length k (invalid entries have score 0)."""
+        of EXACTLY length k (invalid entries have score 0) — the fixed
+        per-level layout downstream segment slicing relies on. When the
+        cell grid is smaller than the budget (tiny pyramid levels of small
+        images) the tail is zero-padded rather than shortened."""
         cs = self.cell_size
         h, w = score.shape
         hc, wc = -(-h // cs), -(-w // cs)
@@ -153,7 +170,11 @@ class ORBExtractor:
         flat_scores = best.reshape(-1)
         flat_y = cy.reshape(-1)
         flat_x = cx.reshape(-1)
-        k = min(k, flat_scores.shape[0])
+        if k > flat_scores.shape[0]:
+            pad = k - flat_scores.shape[0]
+            flat_scores = jnp.pad(flat_scores, (0, pad))
+            flat_y = jnp.pad(flat_y, (0, pad))
+            flat_x = jnp.pad(flat_x, (0, pad))
         top, ti = jax.lax.top_k(flat_scores, k)
         return top, jnp.take(flat_y, ti), jnp.take(flat_x, ti)
 
@@ -170,22 +191,32 @@ class ORBExtractor:
         )                                                      # (K, 2)
         return jnp.arctan2(mm[:, 1], mm[:, 0])
 
-    @staticmethod
-    def _blur_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    def _blur_patches(self, patches: jnp.ndarray) -> jnp.ndarray:
         """Separable 7x7 sigma-2 Gaussian on the patch batch (edge effects
-        confined to the outer 3px ring, outside the sampling reach)."""
-        k = jnp.asarray(pyr_ops._gaussian_kernel(7, 2.0))
-        x = patches[:, None, :, :]
-        x = jax.lax.conv_general_dilated(x, k[None, None, :, None], (1, 1), "SAME")
-        x = jax.lax.conv_general_dilated(x, k[None, None, None, :], (1, 1), "SAME")
-        return x[:, 0]
+        confined to the outer 3px ring, outside the sampling reach).
+
+        Expressed as two banded matmuls (B @ P @ B^T) rather than 1-channel
+        convolutions — TPU lowers single-feature convs poorly, while the
+        batched (48, 48) matmuls ride the MXU."""
+        B = jnp.asarray(_blur_band(patches.shape[1]))
+        tmp = jnp.einsum("krc,cd->krd", patches, B.T,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("rs,ksc->krc", B, tmp,
+                          preferred_element_type=jnp.float32)
 
     def _descriptors_from_patches(self, blurred_patches: jnp.ndarray, angles):
         """Steered BRIEF with gather-free bilinear sampling: per-keypoint
-        2-hot row/col interpolation matrices contracted against the patch."""
+        2-hot row/col interpolation matrices contracted against the patch.
+
+        On accelerators the (K, 512, P) interpolation tensors and the
+        intermediate product are stored bf16 — the chain is HBM-bound, and
+        bf16 weights/intensities are exact to ~0.4%, immaterial for the
+        binary comparisons below. CPU (the test backend) keeps f32, where
+        bf16 would be emulated."""
         K = blurred_patches.shape[0]
         P = blurred_patches.shape[1]
         half = P // 2
+        dt = jnp.bfloat16 if self.use_pallas else jnp.float32
         ca, sa = jnp.cos(angles), jnp.sin(angles)              # (K,)
         px, py = self._pat[:, 0], self._pat[:, 1]              # (512,)
         sx = half + ca[:, None] * px[None, :] - sa[:, None] * py[None, :]
@@ -195,14 +226,16 @@ class ORBExtractor:
         idx = jnp.arange(P, dtype=jnp.float32)[None, None, :]
         Row = (
             (idx == y0[..., None]) * (1.0 - fy) + (idx == y0[..., None] + 1) * fy
-        )                                                      # (K, 512, P)
+        ).astype(dt)                                           # (K, 512, P)
         Col = (
             (idx == x0[..., None]) * (1.0 - fx) + (idx == x0[..., None] + 1) * fx
-        )
+        ).astype(dt)
         # default (bf16 MXU) precision: +-0.25 intensity on the sampled
         # values — immaterial for the binary comparisons below, 3x faster
-        A = jnp.einsum("kir,krc->kic", Row, blurred_patches)
-        samples = jnp.einsum("kic,kic->ki", A, Col)            # (K, 512)
+        A = jnp.einsum("kir,krc->kic", Row, blurred_patches.astype(dt))
+        samples = jnp.einsum(
+            "kic,kic->ki", A, Col, preferred_element_type=jnp.float32
+        )                                                      # (K, 512)
         bits = samples[:, :256] < samples[:, 256:]
         powers = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
         packed = jnp.sum(
@@ -212,11 +245,17 @@ class ORBExtractor:
         )
         return packed                                          # (K, 8) uint32
 
-    def _extract_from_scores(self, levels: List[jnp.ndarray], scores: List[jnp.ndarray]):
+    def _extract_from_scores(self, levels: List[jnp.ndarray], scores: List[jnp.ndarray],
+                             return_patches: bool = False):
+        """Per-level: border gate, NMS, per-cell select, patch DMA. The patch
+        post-processing (orientation, blur, BRIEF) then runs ONCE on the
+        cross-level concatenated batch — one big MXU dispatch each instead of
+        n_levels small ones (the small-batch per-level chain dominated the
+        on-chip extraction profile)."""
         from pointslot_tpu.ops.pallas_patch import extract_patches
 
         cfg = self.config
-        out_xy, out_resp, out_ang, out_lvl, out_desc, out_valid = [], [], [], [], [], []
+        out_xy, out_resp, out_lvl, out_valid, out_patch = [], [], [], [], []
         for lvl, (img_l, score) in enumerate(zip(levels, scores)):
             h, w = self.shapes[lvl]
             # border suppression
@@ -227,25 +266,29 @@ class ORBExtractor:
             k = self.budgets[lvl]
             top, ys, xs = self._select_cells(score, k)
             valid = top > 0.0
-            patches = extract_patches(img_l, xs, ys, use_pallas=self.use_pallas)
-            angle = self._orientation_from_patches(patches)
-            desc = self._descriptors_from_patches(self._blur_patches(patches), angle)
+            out_patch.append(
+                extract_patches(img_l, xs, ys, use_pallas=self.use_pallas)
+            )
             scale = jnp.float32(cfg.scale_factor ** lvl)
             xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
             out_xy.append(xy0)
             out_resp.append(top)
-            out_ang.append(angle)
             out_lvl.append(jnp.full((top.shape[0],), lvl, jnp.int32))
-            out_desc.append(desc)
             out_valid.append(valid)
-        return (
+        patches = jnp.concatenate(out_patch)                    # (capacity, 48, 48)
+        angle = self._orientation_from_patches(patches)
+        desc = self._descriptors_from_patches(self._blur_patches(patches), angle)
+        feats = (
             jnp.concatenate(out_xy),
             jnp.concatenate(out_resp),
-            jnp.concatenate(out_ang),
+            angle,
             jnp.concatenate(out_lvl),
-            jnp.concatenate(out_desc),
+            desc,
             jnp.concatenate(out_valid),
         )
+        if return_patches:
+            return feats, patches
+        return feats
 
     def _extract_impl(self, img: jnp.ndarray):
         cfg = self.config
