@@ -77,6 +77,14 @@ class ORBConfig:
     n_levels: int = 8
     ini_th_fast: int = 20
     min_th_fast: int = 5
+    # rBRIEF sample-pair table: "learned" (the standard decorrelated ORB
+    # table, reference src/ORBextractor.cc:150-406) or "gaussian" (seeded
+    # random pairs, kept for A/B comparison)
+    brief_pattern: str = "learned"
+    # full-resolution stereo disparity re-fit for keypoints at this octave
+    # or above (ops/stereo.fine_refine); 1.2^6 ~ 3x quantization is where
+    # the octave-level SAD parabola stops being sub-pixel at level 0
+    stereo_fine_min_level: int = 6
     # TPU-side capacities (static shapes; candidates before top-N selection)
     max_keypoints_per_level: int = 4096
     grid_rows: int = 48   # reference FRAME_GRID_ROWS (include/Frame.h:40)
@@ -123,6 +131,15 @@ class ObjectConfig:
     """Object-SLOT knobs (reference Parameters.cc object block)."""
 
     max_objects: int = 50               # reference Max_OBJ_NUM (include/Frame.h:42)
+    # BRIEF pattern for the OBJECT feature extractor. The reference runs a
+    # separate dense OpenCV ORB on object masks (src/Frame.cc:2623-2665);
+    # our object frontend is likewise its own engine. The concentrated
+    # gaussian pattern is measurably more repeatable on small masked
+    # regions (the learned table's wide sample pairs pick up background
+    # contamination near object boundaries); the camera/BoW path keeps the
+    # learned table. Set equal to ORBConfig.brief_pattern to share one
+    # extractor.
+    brief_pattern: str = "gaussian"
     max_object_points: int = 512        # per-object landmark capacity
     max_object_keyframes: int = 256     # per-object KF capacity
     select_tracked_obj_id: int = -1     # mode 2: user-picked track (-1 = all)
@@ -250,6 +267,9 @@ class LoopConfig:
     # optional DBoW2 text-format vocabulary (ORBvoc.txt); default trains a
     # small self-consistent vocabulary from synthetic descriptors
     vocab_path: Optional[str] = None
+    # force the tree (staged-descent) vocabulary representation + sparse
+    # inverted-index database; None = auto by vocabulary size
+    vocab_as_tree: Optional[bool] = None
     # full-map BA after loop correction (the reference's detached-thread
     # GBA, src/LoopClosing.cc:648-752). Duplicate map structure across the
     # loop is merged first (SearchAndFuse analog) so the joint solve pulls

@@ -177,10 +177,18 @@ class StereoFrontend:
             & (scaled_ul - st._W >= 0) & (scaled_ul + st._W < lw)
             & (scaled_ur - st._W - st._L >= 0) & (scaled_ur + st._W + st._L < lw)
         )
-        return st.sad_refine_from_patches(
+        u_right, depth, valid_st = st.sad_refine_from_patches(
             patch_l, patch_r, scaled_ul, scaled_vl, scaled_ur,
             ul, matched, in_bounds, self._scales[fl.level],
             self.fx, self.bf,
+        )
+        # second pass at full resolution: coarse-octave disparities carry
+        # error proportional to their scale; re-fitting at level 0 removes
+        # it (see st.fine_refine)
+        return st.fine_refine(
+            levels_l[0], levels_r[0], ul, yl, u_right, depth, valid_st,
+            self.bf, level=fl.level,
+            min_level=self.config.stereo_fine_min_level,
         )
 
     def _run_impl(self, left, right):

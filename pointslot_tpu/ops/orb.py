@@ -11,12 +11,12 @@ operator(), pyramid :1107, per-cell FAST :765-852, quadtree distribution
 
 Outputs fixed-capacity SoA arrays with a validity mask — no dynamic shapes.
 
-Note on the BRIEF pattern: the reference uses OpenCV's learned 256-pair
-table. We generate our pattern from a seeded isotropic Gaussian (the
-original BRIEF construction) — descriptors are self-consistent within this
-framework (matching, BoW, loop closure all use them), which is what matters
-for a standalone system; no byte-compatibility with OpenCV descriptors is
-claimed.
+The BRIEF sampling pattern defaults to the standard learned 256-pair table
+(the constant the reference ships at src/ORBextractor.cc:150-406 — pure
+data): decorrelated, high-entropy bits, commensurable with standard ORB
+descriptors and vocabularies. A seeded-Gaussian pattern (the original BRIEF
+construction) remains available via ``ORBConfig.brief_pattern="gaussian"``
+for A/B comparison.
 """
 
 from __future__ import annotations
@@ -53,8 +53,19 @@ class FeatureSet(NamedTuple):
 
 
 @functools.lru_cache(maxsize=4)
-def brief_pattern(seed: int = 1234) -> np.ndarray:
-    """(256, 4) int32 sample-pair offsets (xa, ya, xb, yb), radius <= 13."""
+def brief_pattern(kind: str = "learned", seed: int = 1234) -> np.ndarray:
+    """(256, 4) int32 sample-pair offsets (xa, ya, xb, yb), radius <= 13.
+
+    ``learned``: the standard greedy-decorrelated ORB table (the constant
+    the reference ships at src/ORBextractor.cc:150-406) — lower bit
+    correlation, and commensurable with standard ORB descriptors/vocabs.
+    ``gaussian``: seeded isotropic-Gaussian pairs (the original BRIEF
+    construction); kept for A/B comparison.
+    """
+    if kind == "learned":
+        from pointslot_tpu.ops.brief_pattern import LEARNED_PATTERN
+
+        return LEARNED_PATTERN
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, 31.0 / 5.0, size=(PATTERN_BITS * 2, 2))
     r = np.linalg.norm(pts, axis=1)
@@ -132,7 +143,7 @@ class ORBExtractor:
         self.use_pallas = (
             default_use_pallas() if use_pallas is None else use_pallas
         )
-        pat = brief_pattern()
+        pat = brief_pattern(cfg.brief_pattern)
         # interleave a|b sample points: one (512, 2) table
         self._pat = jnp.asarray(
             np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0), jnp.float32

@@ -186,7 +186,7 @@ def _mapping_stage_main(cfg, conn):
             load_vocab, train_default_vocab,
         )
 
-        vocab = (load_vocab(cfg.loop.vocab_path)
+        vocab = (load_vocab(cfg.loop.vocab_path, as_tree=cfg.loop.vocab_as_tree)
                  if cfg.loop.vocab_path else train_default_vocab())
         loop_closer = LoopCloser(cfg, m, vocab)
 

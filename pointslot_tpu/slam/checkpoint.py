@@ -109,7 +109,7 @@ def load_checkpoint(path: str, system) -> None:
     # rebuild the loop-closing BoW database from the restored keyframes
     if system.loop_closer is not None:
         db = system.loop_closer.db
-        db.present[:] = False
+        db.clear()
         for kf in m.keyframe_ids():
             db.add(int(kf), m.kf_desc[kf], m.kf_feat_valid[kf])
 

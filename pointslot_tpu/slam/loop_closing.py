@@ -44,21 +44,35 @@ def _next_pow2(n: int, lo: int, hi: int) -> int:
 
 
 class KeyFrameDatabase:
-    """Dense BoW database over the keyframe table."""
+    """Dense BoW database over the keyframe table — the right representation
+    for small self-trained vocabularies (a whole-database query is one
+    matvec). For tree vocabularies at ORBvoc scale, make_database returns
+    the sparse inverted-index twin (vocab/tree.py) instead."""
 
     def __init__(self, vocab: BinaryVocabulary, max_kfs: int):
         self.vocab = vocab
         self.vectors = np.zeros((max_kfs, vocab.n_words), np.float32)
         self.present = np.zeros(max_kfs, bool)
 
-    def add(self, kf: int, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    def transform(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
         vec, _ = self.vocab.transform(desc, valid)
-        self.vectors[kf] = np.asarray(vec)
+        return np.asarray(vec)
+
+    def add(self, kf: int, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        self.vectors[kf] = self.transform(desc, valid)
         self.present[kf] = True
         return self.vectors[kf]
 
     def remove(self, kf: int):
         self.present[kf] = False
+
+    def clear(self):
+        self.present[:] = False
+
+    def pair_score(self, kf: int, vec: np.ndarray) -> float:
+        if not self.present[kf]:
+            return -1.0
+        return float(1.0 - 0.5 * np.abs(self.vectors[kf] - vec).sum())
 
     def query(self, vec: np.ndarray, exclude: Set[int], min_score: float) -> List[int]:
         scores = 1.0 - 0.5 * np.abs(self.vectors - vec[None, :]).sum(axis=1)
@@ -70,13 +84,25 @@ class KeyFrameDatabase:
         return list(ids[np.argsort(-scores[ids])])
 
 
+def make_database(vocab, max_kfs: int):
+    """Pick the database representation by vocabulary type: dense (K, W)
+    tf-idf matrix for small flat vocabularies, sparse inverted index for
+    tree vocabularies (bounded memory at ORBvoc's ~1M words — the
+    reference's KeyFrameDatabase design, src/KeyFrameDatabase.cc)."""
+    from pointslot_tpu.vocab.tree import SparseKeyFrameDatabase, TreeVocabulary
+
+    if isinstance(vocab, TreeVocabulary):
+        return SparseKeyFrameDatabase(vocab, max_kfs)
+    return KeyFrameDatabase(vocab, max_kfs)
+
+
 class LoopCloser:
     def __init__(self, config: SystemConfig, map_state: MapState,
                  vocab: BinaryVocabulary):
         self.cfg = config
         self.map = map_state
         self.vocab = vocab
-        self.db = KeyFrameDatabase(vocab, map_state.max_kfs)
+        self.db = make_database(vocab, map_state.max_kfs)
         self._consistent_groups: List[tuple] = []  # (set_of_kfs, count)
         self.loops_closed = 0
         self.last_loop_kf = -10 ** 9
@@ -115,9 +141,7 @@ class LoopCloser:
         if len(neighbors) == 0:
             return None
         # min similarity to the covisible neighborhood sets the query floor
-        neigh_scores = [
-            1.0 - 0.5 * np.abs(self.db.vectors[n] - vec).sum() for n in neighbors
-        ]
+        neigh_scores = [self.db.pair_score(n, vec) for n in neighbors]
         min_score = max(min(neigh_scores), 0.0)
         exclude = set(int(n) for n in neighbors) | {kf}
         candidates = self.db.query(vec, exclude, min_score)
@@ -549,9 +573,9 @@ class Relocalizer:
     def relocalize(self, frame) -> bool:
         m = self.map
         lc = self.cfg.loop
-        vec, _ = self.db.vocab.transform(frame.desc, frame.valid)
+        vec = self.db.transform(frame.desc, frame.valid)
         candidates = self.db.query(
-            np.asarray(vec), set(), min_score=lc.reloc_min_score
+            vec, set(), min_score=lc.reloc_min_score
         )[: lc.reloc_max_candidates]
         cam = self.cfg.camera
         for cand in candidates:

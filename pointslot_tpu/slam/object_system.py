@@ -102,6 +102,20 @@ class ObjectSystem:
             np.float32,
         )
         self.ba_calls = 0
+        # dedicated object feature engine (the reference's second extractor,
+        # dense OpenCV ORB on object masks, src/Frame.cc:2623-2665) — shares
+        # the camera frontend unless the object BRIEF pattern differs
+        self._frontend = system.frontend
+        if config.objects.brief_pattern != config.orb.brief_pattern:
+            from pointslot_tpu.ops.frontend import StereoFrontend
+
+            orb = config.orb.__class__(**{
+                **config.orb.__dict__,
+                "brief_pattern": config.objects.brief_pattern,
+            })
+            self._frontend = StereoFrontend(
+                cam.height, cam.width, cam.fx, cam.bf, orb
+            )
         self._build_batched_kernels()
 
     # ------------------------------------------------------------------
@@ -200,7 +214,7 @@ class ObjectSystem:
 
         gate = instance_mask > 0
         gate_r = dilate_mask_left(gate, max_disparity=128)
-        sf = self.system.frontend(left, right, gate=gate, gate_right=gate_r)
+        sf = self._frontend(left, right, gate=gate, gate_right=gate_r)
         xy = np.asarray(sf.xy)
         valid = np.asarray(sf.valid)
         H, W = instance_mask.shape
@@ -627,6 +641,23 @@ class ObjectSystem:
                     cam.width, cam.height,
                 ))[:n]
                 bind[good[~keep]] = -1
+
+        # spatially-gated projection match through the velocity-predicted
+        # pose supplements the brute bindings (the reference's dynamic-point
+        # SearchByProjection, src/ORBmatcher.cc:157: RADIUS_FORDYNAMIC=5,
+        # TH_HIGH_FORDYNAMIC=130) — brute alone degrades on small objects
+        # whose descriptors carry background contamination
+        pf0_j = self._proj_batched(
+            jnp.asarray(pt_pos), jnp.asarray(pt_desc), jnp.asarray(pt_valid),
+            jnp.asarray(T_pred, jnp.float32),
+            jnp.asarray(f_xy), jnp.asarray(f_level), jnp.asarray(f_desc),
+            jnp.asarray(f_valid),
+        )
+        for oi in range(O):
+            pf = np.asarray(pf0_j[oi])[: len(fsels[oi])]
+            bind = binds[oi]
+            add = np.nonzero((pf >= 0) & (bind < 0))[0]
+            bind[add] = pf[add]
 
         edges1, _ = self._build_edges(items, binds, feats)
         # pad edges pytree to O_pad

@@ -54,15 +54,16 @@ class System:
             self.map.pt_alloc_range = (0, self.map.max_points // 2)
             if self.cfg.loop.enabled:
                 from pointslot_tpu.slam.loop_closing import (
-                    KeyFrameDatabase, Relocalizer,
+                    Relocalizer, make_database,
                 )
                 from pointslot_tpu.vocab.bow import (
                     load_vocab, train_default_vocab,
                 )
 
-                vocab = (load_vocab(self.cfg.loop.vocab_path)
+                vocab = (load_vocab(self.cfg.loop.vocab_path,
+                                    as_tree=self.cfg.loop.vocab_as_tree)
                          if self.cfg.loop.vocab_path else train_default_vocab())
-                self._reloc_db = KeyFrameDatabase(vocab, self.map.max_kfs)
+                self._reloc_db = make_database(vocab, self.map.max_kfs)
                 self.tracker.relocalizer = Relocalizer(
                     self.cfg, self.map, self._reloc_db
                 )
@@ -73,7 +74,8 @@ class System:
             )
 
             if self.cfg.loop.vocab_path:
-                vocab = load_vocab(self.cfg.loop.vocab_path)
+                vocab = load_vocab(self.cfg.loop.vocab_path,
+                                    as_tree=self.cfg.loop.vocab_as_tree)
             else:
                 vocab = train_default_vocab()
             self.loop_closer = LoopCloser(self.cfg, self.map, vocab)

@@ -159,16 +159,24 @@ def train_default_vocab(seed: int = 0, n_words: int = 512,
     return vocab
 
 
-def load_vocab(path: str) -> BinaryVocabulary:
+# Above this many words a dense (N_feat, W) assignment table / (K, W)
+# database matrix stops being reasonable; loaders switch to the tree
+# vocabulary (staged descent) + sparse inverted-index database.
+TREE_WORD_THRESHOLD = 4096
+
+
+def load_vocab(path: str, as_tree: Optional[bool] = None):
     """Load a DBoW2 vocabulary by format: .bin (optionally .bin.gz) binary
     layout (the file the reference loads at src/System.cc:79), anything
-    else the text export."""
+    else the text export. Returns a flat BinaryVocabulary for small files
+    and a TreeVocabulary (vocab/tree.py staged descent) above
+    TREE_WORD_THRESHOLD words; force with as_tree."""
     if path.endswith((".bin", ".bin.gz")):
-        return load_orb_vocab_binary(path)
-    return load_orb_vocab_text(path)
+        return load_orb_vocab_binary(path, as_tree=as_tree)
+    return load_orb_vocab_text(path, as_tree=as_tree)
 
 
-def load_orb_vocab_binary(path: str) -> BinaryVocabulary:
+def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None):
     """Load a DBoW2 binary vocabulary (ORBvoc.bin — the format the reference
     loads at startup, src/System.cc:79 via TemplatedVocabulary::
     loadFromBinaryFile, Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1343).
@@ -195,11 +203,21 @@ def load_orb_vocab_binary(path: str) -> BinaryVocabulary:
     if len(body) < int(nb_nodes) * int(size_node):
         raise ValueError(f"{path}: expected {nb_nodes} nodes, file truncated")
     rec = np.frombuffer(body, np.uint8).reshape(int(nb_nodes), int(size_node))
+    parents = rec[:, 0:4].copy().view(np.int32).ravel()
     desc = rec[:, 4:36]
     weight = rec[:, 36:40].copy().view(np.float32).ravel()
     is_leaf = rec[:, 40] != 0
     if not is_leaf.any():
         raise ValueError(f"{path}: vocabulary has no leaf words")
+    n_words = int(is_leaf.sum())
+    if as_tree or (as_tree is None and n_words > TREE_WORD_THRESHOLD):
+        from pointslot_tpu.vocab.tree import TreeVocabulary
+
+        k, L = np.frombuffer(raw[8:16], np.int32)
+        return TreeVocabulary.from_parent_array(
+            parents, np.ascontiguousarray(desc).view(np.uint32), weight,
+            is_leaf, k=max(int(k), 2), depth=max(int(L), 1) + 1,
+        )
     words = np.ascontiguousarray(desc[is_leaf]).view(np.uint32)
     return BinaryVocabulary(words, weight[is_leaf].astype(np.float32))
 
@@ -222,21 +240,33 @@ def save_orb_vocab_binary(path: str, parents: np.ndarray, desc: np.ndarray,
         f.write(header + rec.tobytes())
 
 
-def load_orb_vocab_text(path: str) -> BinaryVocabulary:
+def load_orb_vocab_text(path: str, as_tree: Optional[bool] = None):
     """Load a DBoW2 text-format vocabulary (ORBvoc.txt): header 'k L s1 s2'
     then one node per line: parent is_leaf 32-byte-descriptor weight.
-    Only the leaves (words) are kept — the flat lookup replaces the tree."""
+    Small files keep only the leaves (flat MXU lookup); large ones keep the
+    tree for staged descent (see load_vocab)."""
     with open(path) as f:
         header = f.readline().split()
-        words = []
-        weights = []
+        parents, descs, weights, leaf_flags = [], [], [], []
         for line in f:
             parts = line.split()
             if len(parts) < 35:
                 continue
-            is_leaf = parts[1] in ("1", "True")
-            desc_bytes = np.asarray([int(x) for x in parts[2:34]], np.uint8)
-            if is_leaf:
-                words.append(desc_bytes.view(np.uint32))
-                weights.append(float(parts[34]))
-    return BinaryVocabulary(np.stack(words), np.asarray(weights, np.float32))
+            parents.append(int(parts[0]))
+            leaf_flags.append(parts[1] in ("1", "True"))
+            descs.append(np.asarray([int(x) for x in parts[2:34]], np.uint8))
+            weights.append(float(parts[34]))
+    is_leaf = np.asarray(leaf_flags, bool)
+    desc = np.stack(descs)
+    w = np.asarray(weights, np.float32)
+    n_words = int(is_leaf.sum())
+    if as_tree or (as_tree is None and n_words > TREE_WORD_THRESHOLD):
+        from pointslot_tpu.vocab.tree import TreeVocabulary
+
+        k = int(header[0]) if len(header) >= 2 else 10
+        L = int(header[1]) if len(header) >= 2 else 6
+        return TreeVocabulary.from_parent_array(
+            np.asarray(parents, np.int32), desc.view(np.uint32), w, is_leaf,
+            k=max(k, 2), depth=max(L, 1) + 1,
+        )
+    return BinaryVocabulary(desc[is_leaf].view(np.uint32), w[is_leaf])

@@ -128,3 +128,66 @@ def test_frontend_batch_matches_single():
         d_b, d_1 = np.asarray(fb.depth[i]), np.asarray(f1.depth)
         frac_diff = np.mean(np.abs(d_b - d_1) > 1e-2)
         assert frac_diff < 0.01, f"{frac_diff:.3%} depths differ"
+
+
+def test_learned_pattern_table_integrity():
+    """The learned rBRIEF table: 256 pairs, coords within the sampling
+    radius (reference src/ORBextractor.cc:150-406)."""
+    from pointslot_tpu.ops.orb import brief_pattern
+
+    pat = brief_pattern("learned")
+    assert pat.shape == (256, 4)
+    assert pat.dtype == np.int32
+    assert pat.min() >= -13 and pat.max() <= 12
+    # first and last rows of the published table
+    np.testing.assert_array_equal(pat[0], [8, -3, 9, 5])
+    np.testing.assert_array_equal(pat[-1], [-1, -6, 0, -11])
+    # no degenerate pairs (a == b samples would yield constant bits)
+    assert not np.any(np.all(pat[:, 0:2] == pat[:, 2:4], axis=1))
+
+
+def test_learned_pattern_beats_gaussian_bit_correlation():
+    """A/B: descriptor bits from the learned table should be closer to
+    fair coins (mean ~0.5) and less inter-correlated than the seeded
+    Gaussian pattern — the property the greedy training optimized for."""
+    scene = make_scene(n_frames=1, n_points=900, seed=11)
+    renderer = SyntheticRenderer(scene)
+    left, _, _ = renderer.render(0)
+
+    def bit_stats(kind):
+        ext = ORBExtractor(left.shape[0], left.shape[1],
+                           ORBConfig(brief_pattern=kind))
+        feats = ext(left)
+        v = np.asarray(feats.valid)
+        desc = np.asarray(feats.desc)[v]                      # (N, 8) uint32
+        bits = ((desc[:, :, None] >> np.arange(32)[None, None, :]) & 1)
+        bits = bits.reshape(len(desc), 256).astype(np.float64)
+        mean_dev = np.abs(bits.mean(0) - 0.5).mean()
+        c = np.corrcoef(bits.T)
+        c = np.nan_to_num(c) - np.eye(256)
+        mean_abs_corr = np.abs(c).mean()
+        return mean_dev, mean_abs_corr
+
+    dev_l, corr_l = bit_stats("learned")
+    dev_g, corr_g = bit_stats("gaussian")
+    assert corr_l < corr_g, (corr_l, corr_g)
+    assert dev_l <= dev_g + 0.02, (dev_l, dev_g)
+
+
+def test_learned_pattern_match_quality():
+    """Learned-pattern descriptors still match across a real baseline shift
+    with a high geometric inlier rate."""
+    from pointslot_tpu.slam.matchers import brute_match
+
+    scene = make_scene(n_frames=2, n_points=900, seed=11)
+    renderer = SyntheticRenderer(scene)
+    l0, r0, _ = renderer.render(0)
+    ext = ORBExtractor(l0.shape[0], l0.shape[1], ORBConfig())
+    fa, fb = ext(l0), ext(r0)
+    res = brute_match(fa.desc, fa.angle, fa.valid, fb.desc, fb.angle, fb.valid)
+    idx = np.asarray(res.idx_b_for_a)
+    m = idx >= 0
+    assert m.sum() > 50, f"too few matches: {m.sum()}"
+    # stereo pair: matched features must lie on (nearly) the same row
+    dy = np.asarray(fa.xy)[m, 1] - np.asarray(fb.xy)[idx[m], 1]
+    assert np.mean(np.abs(dy) < 2.0) > 0.8, "row consistency too low"
