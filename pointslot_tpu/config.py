@@ -85,6 +85,13 @@ class ORBConfig:
     # or above (ops/stereo.fine_refine); 1.2^6 ~ 3x quantization is where
     # the octave-level SAD parabola stops being sub-pixel at level 0
     stereo_fine_min_level: int = 6
+    # descriptor pre-filter for the stereo row match. The reference gates at
+    # (TH_HIGH+TH_LOW)/2 = 75 (src/Frame.cc:2151) against OpenCV-ORB
+    # distance statistics; the learned-pattern distances of this pipeline
+    # run ~25 bits higher on textured scenes, and the epipolar window + SAD
+    # refinement + median filter downstream are the actual precision gates,
+    # so the pre-filter sits at TH_HIGH
+    stereo_match_th: int = 100
     # TPU-side capacities (static shapes; candidates before top-N selection)
     max_keypoints_per_level: int = 4096
     grid_rows: int = 48   # reference FRAME_GRID_ROWS (include/Frame.h:40)
@@ -275,6 +282,10 @@ class LoopConfig:
     # loop is merged first (SearchAndFuse analog) so the joint solve pulls
     # the loop together instead of locking in pre-correction drift.
     run_global_ba: bool = True
+    # run the GBA solve on a detached thread outside the map lock (the
+    # reference's RunGlobalBundleAdjustment thread + mbStopGBA abort);
+    # False = inline deterministic solve (unit tests)
+    background_gba: bool = True
     # global-BA structure caps (all keyframes participate; points beyond the
     # cap are corrected by their reference keyframe's pose delta)
     gba_max_points: int = 8192

@@ -151,6 +151,7 @@ class StereoFrontend:
             fl.xy, fl.level, fl.desc, fl.valid,
             fr.xy, fr.level, fr.desc, fr.valid,
             self._scales, self.fx,
+            th_orb=self.config.stereo_match_th,
         )
         ul, yl = fl.xy[:, 0], fl.xy[:, 1]
         inv_scale = 1.0 / self._scales[fl.level]

@@ -34,11 +34,14 @@ replaces the Channel with sockets over DCN without touching the protocol.
 
 from __future__ import annotations
 
+import contextlib
 import io
 import multiprocessing as mp
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+_NULL_LOCK = contextlib.nullcontext()
 
 KF_UID_GUARD = "kf_uid"
 
@@ -226,22 +229,28 @@ def _mapping_stage_main(cfg, conn):
     while True:
         tag, blob = conn.recv()
         if tag == "stop":
+            if loop_closer is not None:
+                loop_closer.wait_for_gba()
             conn.send(("stopped", b""))
             return
         if tag != "kf":
             continue
         delta = decode_arrays(blob)
         kf = int(delta["new_kf"])
-        replica.apply(delta)
-        try:
-            mapper.process_keyframe(kf)
-            if loop_closer is not None:
-                loop_closer.on_keyframe(kf)
-        except Exception:   # pragma: no cover — stage must not die silently
-            import traceback
+        # the background-GBA merge thread takes the same lock, so its
+        # write-back never interleaves with mapping work or delta capture
+        lock = loop_closer.map_lock if loop_closer is not None else _NULL_LOCK
+        with lock:
+            replica.apply(delta)
+            try:
+                mapper.process_keyframe(kf)
+                if loop_closer is not None:
+                    loop_closer.on_keyframe(kf)
+            except Exception:  # pragma: no cover — stage must not die silently
+                import traceback
 
-            traceback.print_exc()
-        out = replica.collect()
+                traceback.print_exc()
+            out = replica.collect()
         if events["reparent"]:
             out["reparent_uid"] = np.asarray(
                 [e[0] for e in events["reparent"]], np.int64)

@@ -34,6 +34,8 @@ class RecentPoint:
 
 class LocalMapper:
     def __init__(self, config: SystemConfig, map_state: MapState):
+        import contextlib
+
         self.cfg = config
         self.map = map_state
         self.recent_points: List[RecentPoint] = []
@@ -48,21 +50,35 @@ class LocalMapper:
             np.float32,
         )
         self.ba_calls = 0
+        # System replaces with its map lock; the BA SOLVE runs outside it
+        # (the reference takes mMutexMapUpdate only to APPLY LocalBA
+        # results, src/Optimizer.cc LocalBundleAdjustment 'get map mutex')
+        self.lock = contextlib.nullcontext()
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int):
         self._kf_counter += 1
         m = self.map
-        new_pts = np.nonzero(m.pt_first_kf == kf)[0]
-        for p in new_pts:
-            self.recent_points.append(RecentPoint(pt=int(p), created_kf=self._kf_counter))
+        snap = None
+        with self.lock:
+            new_pts = np.nonzero(m.pt_first_kf == kf)[0]
+            for p in new_pts:
+                self.recent_points.append(
+                    RecentPoint(pt=int(p), created_kf=self._kf_counter))
 
-        self._cull_points()
-        self._triangulate_far_points(kf)
-        self._fuse_neighbors(kf)
-        if m.n_keyframes() > 2:
-            self._local_ba(kf)
-        self._cull_keyframes(kf)
+            self._cull_points()
+            self._triangulate_far_points(kf)
+            self._fuse_neighbors(kf)
+            if m.n_keyframes() > 2:
+                snap = self._local_ba_snapshot(kf)
+        if snap is not None:
+            # the expensive LM solve holds NO lock — tracking proceeds
+            result = local_ba.bundle_adjust(snap["prob"], **self._cam_args)
+            self.ba_calls += 1
+            with self.lock:
+                self._local_ba_merge(snap, result)
+        with self.lock:
+            self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
     def _triangulate_far_points(self, kf: int):
@@ -251,7 +267,7 @@ class LocalMapper:
             m.update_point_stats(cand[pf[feats]])
 
     # ------------------------------------------------------------------
-    def _local_ba(self, kf: int):
+    def _local_ba_snapshot(self, kf: int):
         m = self.map
         ba_cfg = self.cfg.ba
         P_cap = ba_cfg.max_ba_keyframes
@@ -314,28 +330,53 @@ class LocalMapper:
             from pointslot_tpu.utils.profiling import PROFILER
 
             PROFILER.count("local_ba_obs_dropped", E - kept)
-        result = local_ba.bundle_adjust(prob, **self._cam_args)
-        self.ba_calls += 1
+        return dict(
+            prob=prob, slot_edge=slot_edge, kf_list=kf_list,
+            fixed_flags=n_fixed_flags, pts=pts,
+            e_pose=e_pose, e_point=e_point,
+            kf_uid=m.kf_uid[kf_list].copy(),
+            pt_first_kf=m.pt_first_kf[pts].copy(),
+        )
 
-        # write back
+    def _local_ba_merge(self, snap: dict, result):
+        """Apply the windowed-BA result under the lock. Staleness guards
+        (keyframe slot uid / point first-keyframe identity) protect against
+        rows recycled while the solve ran lock-free."""
+        m = self.map
+        kf_list = snap["kf_list"]
+        pts = snap["pts"]
+        fixed_flags = snap["fixed_flags"]
+
+        live_kf = m.kf_uid[kf_list] == snap["kf_uid"]
         new_poses = np.asarray(result.poses)
         for i, k in enumerate(kf_list):
-            if not n_fixed_flags[i]:
+            if live_kf[i] and not fixed_flags[i]:
                 m.kf_pose[k] = new_poses[i]
-        m.pt_pos[pts] = np.asarray(result.points)[: len(pts)].astype(np.float64)
+        live_pt = m.pt_valid[pts] & (m.pt_first_kf[pts] == snap["pt_first_kf"])
+        m.pt_pos[pts[live_pt]] = np.asarray(
+            result.points)[: len(pts)][live_pt].astype(np.float64)
 
         # drop outlier observations
+        slot_edge = snap["slot_edge"]
+        e_pose, e_point = snap["e_pose"], snap["e_point"]
         inl = np.asarray(result.obs_inlier)
         bad = slot_edge[(slot_edge >= 0) & ~inl]
+        dropped = False
         for b in bad:
-            k = kf_list[int(e_pose[b])]
-            p = pts[int(e_point[b])]
+            i = int(e_pose[b])
+            pi = int(e_point[b])
+            if not live_kf[i] or not live_pt[pi]:
+                continue
+            k = kf_list[i]
+            p = pts[pi]
             feats = np.nonzero(m.kf_point_idx[k] == p)[0]
             if len(feats):
                 m.kf_point_idx[k, feats] = -1
                 m.obs[p, k] = False
-        if len(bad):
-            orphans = pts[~m.obs[pts].any(axis=1)]
+                dropped = True
+        if dropped:
+            lp = pts[live_pt]
+            orphans = lp[~m.obs[lp].any(axis=1)]
             if len(orphans):
                 m.pt_valid[orphans] = False
 

@@ -99,6 +99,8 @@ def make_database(vocab, max_kfs: int):
 class LoopCloser:
     def __init__(self, config: SystemConfig, map_state: MapState,
                  vocab: BinaryVocabulary):
+        import threading
+
         self.cfg = config
         self.map = map_state
         self.vocab = vocab
@@ -107,7 +109,15 @@ class LoopCloser:
         self.loops_closed = 0
         self.last_loop_kf = -10 ** 9
         self.on_loop_closed = None  # callback(corrections dict)
-        self.last_gba_stats = None  # set by _global_ba
+        self.last_gba_stats = None  # set by the GBA merge-back
+        # background global BA (the reference's detached thread + abort
+        # flag, src/LoopClosing.cc:648-752 mbStopGBA/mnFullBAIdx): the
+        # solve runs WITHOUT the map lock; the merge-back re-takes it and
+        # is discarded if the epoch moved (a newer loop/reset superseded it)
+        self.map_lock = threading.RLock()  # System replaces with its lock
+        self._gba_thread: Optional[threading.Thread] = None
+        self._gba_epoch = 0
+        self.gba_running = False
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int) -> bool:
@@ -276,25 +286,29 @@ class LoopCloser:
         )
 
         # move map points with their reference keyframe's correction
+        # (vectorized — runs under the map lock)
         corrections = {}
         for i, k in enumerate(kf_ids):
             corrections[int(k)] = (old_poses[i], new_poses[i])
             m.kf_pose[int(k)] = new_poses[i].astype(np.float32)
+        A = np.einsum("kij,kjl->kil", np.linalg.inv(new_poses), old_poses)
+        row_of_slot = np.full(m.max_kfs, -1, np.int64)
+        for k, i in row.items():
+            row_of_slot[k] = i
         pts = np.nonzero(m.pt_valid)[0]
-        for p in pts:
-            ref = int(m.pt_first_kf[p])
-            if ref not in corrections:
-                obs_kfs = np.nonzero(m.obs[p])[0]
-                if len(obs_kfs) == 0:
-                    continue
-                ref = int(obs_kfs[0])
-                if ref not in corrections:
-                    continue
-            T_old, T_new = corrections[ref]
-            X = m.pt_pos[p]
-            Xc = T_old[:3, :3] @ X + T_old[:3, 3]
-            T_wc_new = np.linalg.inv(T_new)
-            m.pt_pos[p] = T_wc_new[:3, :3] @ Xc + T_wc_new[:3, 3]
+        if len(pts):
+            ref = m.pt_first_kf[pts]
+            rows_p = np.where(ref >= 0, row_of_slot[np.maximum(ref, 0)], -1)
+            for j in np.nonzero(rows_p < 0)[0]:
+                obs_kfs = np.nonzero(m.obs[pts[j]])[0]
+                if len(obs_kfs):
+                    rows_p[j] = row_of_slot[int(obs_kfs[0])]
+            sel = rows_p >= 0
+            rp, rr = pts[sel], rows_p[sel]
+            X = m.pt_pos[rp]
+            m.pt_pos[rp] = (
+                np.einsum("rij,rj->ri", A[rr, :3, :3], X) + A[rr, :3, 3]
+            )
 
         # merge duplicate structure across the loop (SearchAndFuse analog,
         # reference src/LoopClosing.cc:590) so global BA ties the loop
@@ -302,10 +316,59 @@ class LoopCloser:
         self._search_and_fuse(kf, cand)
 
         if self.cfg.loop.run_global_ba:
-            self._global_ba(cand)
+            self._launch_global_ba(cand)
 
         if self.on_loop_closed:
             self.on_loop_closed(corrections)
+
+    # ------------------------------------------------------------------
+    def _launch_global_ba(self, fixed_kf: int):
+        """Run the full-map BA off the tracking critical path (reference
+        LoopClosing::RunGlobalBundleAdjustment detached thread,
+        src/LoopClosing.cc:648). The snapshot is taken under the map lock
+        (cheap array packing); the LM solve runs lock-free on a background
+        thread; the merge-back re-takes the lock with uid staleness guards
+        and is discarded if a newer loop closure/reset bumped the epoch
+        (the mnFullBAIdx check)."""
+        import threading
+
+        self._gba_epoch += 1
+        snap = self._gba_snapshot(fixed_kf)
+        if snap is None:
+            return
+        if not self.cfg.loop.background_gba:
+            self._gba_run(snap, self._gba_epoch)
+            return
+        self.wait_for_gba()  # at most one in flight; stale one was aborted
+        self.gba_running = True
+        t = threading.Thread(
+            target=self._gba_run, args=(snap, self._gba_epoch), daemon=True
+        )
+        self._gba_thread = t
+        t.start()
+
+    def _gba_run(self, snap, epoch: int):
+        try:
+            result, stats = self._gba_solve(snap)
+            with self.map_lock:
+                if epoch != self._gba_epoch:
+                    PROFILER.count("gba_aborted")
+                    return
+                self._gba_merge(snap, result)
+                self.last_gba_stats = stats
+        finally:
+            self.gba_running = False
+
+    def wait_for_gba(self, timeout: Optional[float] = None):
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+        self._gba_thread = None
+
+    def abort_gba(self):
+        """Invalidate any in-flight global BA (map reset / superseding
+        event) — its merge-back will be discarded."""
+        self._gba_epoch += 1
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, old_poses, fixed_mask,
@@ -416,18 +479,16 @@ class LoopCloser:
         PROFILER.count("loop_points_merged", merged)
 
     # ------------------------------------------------------------------
-    def _global_ba(self, fixed_kf: int):
-        """Full-map bundle adjustment after loop correction (the reference
-        runs this in a detached thread, LoopClosing::RunGlobalBundleAdjustment
-        src/LoopClosing.cc:648-752). ALL keyframes participate; structure is
-        capped at loop.gba_max_points well-observed points (the rest are
-        corrected afterwards by their reference keyframe's pose delta, the
-        same propagation the reference applies to points created during
-        GBA). Point-sharded over the device mesh when one is attached."""
+    def _gba_snapshot(self, fixed_kf: int) -> Optional[dict]:
+        """Pack the full-map BA problem from the current map state (runs
+        under the map lock; cheap array packing only). ALL keyframes
+        participate; structure is capped at loop.gba_max_points
+        well-observed points (the rest are corrected at merge time by their
+        reference keyframe's pose delta, the same propagation the reference
+        applies to points created during GBA)."""
         from pointslot_tpu.solvers import local_ba
 
         m = self.map
-        cam = self.cfg.camera
         lc = self.cfg.loop
         kf_ids = list(m.keyframe_ids())
         P_cap = _next_pow2(len(kf_ids), 16, m.max_kfs)
@@ -436,7 +497,7 @@ class LoopCloser:
         # structure selection: prefer well-observed points
         pts_all = np.nonzero(m.pt_valid)[0]
         if len(pts_all) == 0:
-            return
+            return None
         obs_count = m.point_obs_count()[pts_all]
         if len(pts_all) > lc.gba_max_points:
             keep = np.argsort(-obs_count)[: lc.gba_max_points]
@@ -472,14 +533,13 @@ class LoopCloser:
         e_stereo = np.concatenate(e_stereo)
         e_inv2 = np.concatenate(e_inv2)
         if len(e_pose) < 100:
-            return
+            return None
 
         fixed_flags = [int(k) == int(fixed_kf) for k in kf_ids]
         if not any(fixed_flags):
             fixed_flags[0] = True
-        old_kf_poses = m.kf_pose[kf_ids].astype(np.float64).copy()
 
-        prob, slot_edge = local_ba.build_problem(
+        prob, _ = local_ba.build_problem(
             poses=m.kf_pose[kf_ids].astype(np.float32),
             pose_fixed=np.asarray(fixed_flags),
             points=m.pt_pos[pts].astype(np.float32),
@@ -487,11 +547,27 @@ class LoopCloser:
             e_inv_sigma2=e_inv2,
             P_cap=P_cap, L_cap=L_cap, K=lc.gba_obs_per_point,
         )
+        return dict(
+            prob=prob, L_cap=L_cap, kf_ids=kf_ids, kf_row=kf_row,
+            fixed_flags=fixed_flags,
+            kf_uid=m.kf_uid[kf_ids].copy(),
+            old_kf_poses=m.kf_pose[kf_ids].astype(np.float64).copy(),
+            pts=pts, pt_first_kf=m.pt_first_kf[pts].copy(),
+            n_kfs=len(kf_ids),
+        )
+
+    def _gba_solve(self, snap: dict):
+        """The expensive LM solve — touches ONLY the snapshot (no map state,
+        no lock). Point-sharded over the device mesh when one is attached."""
+        from pointslot_tpu.solvers import local_ba
+
+        cam = self.cfg.camera
+        prob = snap["prob"]
+        cam_args = dict(fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+                        cy=float(cam.cy), bf=float(cam.bf))
         # pre-gate: drop grossly-inconsistent observations (wrong
         # associations made while the map was drifted) at the corrected
         # state BEFORE optimizing, so the robust stage starts clean
-        cam_args = dict(fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
-                        cy=float(cam.cy), bf=float(cam.bf))
         res0, behind0 = local_ba._residuals_only(
             prob.poses, prob.points, prob, **cam_args)
         chi2_0 = local_ba._chi2(res0, prob.obs_stereo, prob.obs_inv_sigma2)
@@ -503,7 +579,7 @@ class LoopCloser:
         from pointslot_tpu.parallel.runtime import default_mesh
 
         mesh = default_mesh()
-        if mesh is not None and L_cap % mesh.size == 0:
+        if mesh is not None and snap["L_cap"] % mesh.size == 0:
             from pointslot_tpu.parallel.dist_ba import distributed_bundle_adjust
 
             PROFILER.count("gba_distributed")
@@ -524,40 +600,93 @@ class LoopCloser:
                                       **cam_args)[:1],
             prob.obs_stereo, prob.obs_inv_sigma2)
         act = prob.obs_valid
-        self.last_gba_stats = {
+        stats = {
             "cost_before": float(jnp.sum(jnp.where(
                 act, local_ba._robust_cost(chi2_in, delta2), 0.0))),
             "cost_after": float(jnp.sum(jnp.where(
                 act, local_ba._robust_cost(chi2_out, delta2), 0.0))),
             "n_obs": int(jnp.sum(act)),
-            "n_kfs": len(kf_ids),
-            "n_points": len(pts),
+            "n_kfs": snap["n_kfs"],
+            "n_points": len(snap["pts"]),
         }
+        return result, stats
+
+    def _gba_merge(self, snap: dict, result):
+        """Write the GBA result back under the map lock. The map may have
+        moved on during the solve (keyframes culled + slots recycled, points
+        culled, new keyframes/points created) — the reference handles the
+        same window with uid/spanning-tree propagation (src/LoopClosing.cc:
+        686-745). Guards: keyframe slots are verified by uid; point slots by
+        first-keyframe identity; keyframes created DURING the solve are
+        corrected by their nearest (frame-id) solved keyframe's delta, and
+        non-solved points ride their reference keyframe's delta."""
+        m = self.map
+        kf_ids = snap["kf_ids"]
+        kf_row = snap["kf_row"]
+        fixed_flags = snap["fixed_flags"]
+        old_kf_poses = snap["old_kf_poses"]
+        pts = snap["pts"]
 
         new_poses = np.asarray(result.poses, np.float64)
+        live = np.zeros(len(kf_ids), bool)
         for i, k in enumerate(kf_ids):
+            if m.kf_uid[int(k)] != snap["kf_uid"][i]:
+                continue  # slot recycled during the solve
+            live[i] = True
             if not fixed_flags[i]:
                 m.kf_pose[int(k)] = new_poses[i].astype(np.float32)
-        m.pt_pos[pts] = np.asarray(result.points, np.float64)[: len(pts)]
+
+        # keyframes created during the solve: apply the delta of the
+        # nearest solved keyframe (T_k' = (T_k T_ref^-1) T_ref_gba)
+        solved_set = {int(k) for i, k in enumerate(kf_ids) if live[i]}
+        solved_fids = {int(k): int(m.kf_frame_id[int(k)]) for k in solved_set}
+        for k in m.keyframe_ids():
+            k = int(k)
+            if k in solved_set or not solved_set:
+                continue
+            fid = int(m.kf_frame_id[k])
+            ref = min(solved_set, key=lambda s: abs(solved_fids[s] - fid))
+            i = kf_row[ref]
+            if fixed_flags[i]:
+                continue
+            T_rel = m.kf_pose[k].astype(np.float64) @ np.linalg.inv(
+                old_kf_poses[i])
+            m.kf_pose[k] = (T_rel @ new_poses[i]).astype(np.float32)
+
+        # solved points: write back where the slot still holds that point
+        ok = m.pt_valid[pts] & (m.pt_first_kf[pts] == snap["pt_first_kf"])
+        m.pt_pos[pts[ok]] = np.asarray(result.points, np.float64)[: len(pts)][ok]
 
         # propagate the GBA pose deltas to points that were not in the solve
-        rest = pts_all[pt_row[pts_all] < 0]
-        for p in rest:
-            ref = int(m.pt_first_kf[p])
-            if ref not in kf_row:
-                obs_kfs = np.nonzero(m.obs[p])[0]
-                if len(obs_kfs) == 0:
-                    continue
-                ref = int(obs_kfs[0])
-                if ref not in kf_row:
-                    continue
-            i = kf_row[ref]
-            T_old = old_kf_poses[i]
-            T_new = new_poses[i] if not fixed_flags[i] else T_old
-            X = m.pt_pos[p]
-            Xc = T_old[:3, :3] @ X + T_old[:3, 3]
-            T_wc_new = np.linalg.inv(T_new)
-            m.pt_pos[p] = T_wc_new[:3, :3] @ Xc + T_wc_new[:3, 3]
+        # (vectorized — this runs under the map lock, so it must be O(µs/pt))
+        in_solve = np.zeros(m.max_points, bool)
+        in_solve[pts[ok]] = True
+        rest = np.nonzero(m.pt_valid & ~in_solve)[0]
+        if len(rest):
+            # per-solved-KF correction: p' = inv(T_new) @ T_old @ p
+            A = np.empty((len(kf_ids), 4, 4))
+            for i in range(len(kf_ids)):
+                T_old = old_kf_poses[i]
+                T_new = new_poses[i] if not fixed_flags[i] else T_old
+                A[i] = np.linalg.inv(T_new) @ T_old
+            row_of_slot = np.full(m.max_kfs, -1, np.int64)
+            for k, i in kf_row.items():
+                if live[i]:
+                    row_of_slot[k] = i
+            ref = m.pt_first_kf[rest]
+            rows = np.where(ref >= 0, row_of_slot[np.maximum(ref, 0)], -1)
+            # fallback (rare): reference keyframe gone — first live observer
+            for j in np.nonzero(rows < 0)[0]:
+                for c in np.nonzero(m.obs[rest[j]])[0]:
+                    if row_of_slot[int(c)] >= 0:
+                        rows[j] = row_of_slot[int(c)]
+                        break
+            sel = rows >= 0
+            rp, rr = rest[sel], rows[sel]
+            X = m.pt_pos[rp]
+            m.pt_pos[rp] = (
+                np.einsum("rij,rj->ri", A[rr, :3, :3], X) + A[rr, :3, 3]
+            )
 
 
 class Relocalizer:

@@ -90,6 +90,11 @@ class System:
         import threading
 
         self.map_lock = threading.RLock()
+        if self.loop_closer is not None:
+            # the GBA merge-back must exclude tracking/mapping map access
+            self.loop_closer.map_lock = self.map_lock
+        # the mapper's BA solve runs outside this lock (see process_keyframe)
+        self.local_mapper.lock = self.map_lock
         self._mapping_queue = _queue.Queue()
         self._mapping_thread = None
         if self.cfg.runtime.pipeline_stages:
@@ -169,10 +174,15 @@ class System:
             self._fast.refresh(self.map, self.tracker.ref_kf)
 
     def _process_keyframe_sync(self, kf: int):
-        with self.profiler.timer("mapping"), self.map_lock:
+        # the mapper takes map_lock per phase and runs its BA solve
+        # lock-free (the reference's LocalBundleAdjustment takes the map
+        # mutex only to apply results); loop closing locks for the whole
+        # event like the reference's CorrectLoop under mMutexMapUpdate
+        with self.profiler.timer("mapping"):
             self.local_mapper.process_keyframe(kf)
             if self.loop_closer is not None:
-                self.loop_closer.on_keyframe(kf)
+                with self.map_lock:
+                    self.loop_closer.on_keyframe(kf)
 
     def _mapping_worker(self):
         """Async mapping thread — the LocalMapping/ObjectLocalMapping/
@@ -255,7 +265,8 @@ class System:
         self.tracker.reset()
         self.local_mapper.recent_points.clear()
         if self.loop_closer is not None:
-            self.loop_closer.db.present[:] = False
+            self.loop_closer.db.clear()
+            self.loop_closer.abort_gba()  # in-flight GBA is now stale
         if self._fast is not None:
             self._fast.invalidate()
 
@@ -567,6 +578,8 @@ class System:
 
     def shutdown(self):
         self.wait_for_mapping()
+        if self.loop_closer is not None:
+            self.loop_closer.wait_for_gba()
         if self._mapping_thread is not None:
             self._mapping_queue.put(None)
             self._mapping_thread.join(timeout=10)

@@ -39,12 +39,13 @@ def run(gba: bool):
     renderer = SyntheticRenderer(scene)
     cfg = SystemConfig()
     object.__setattr__(cfg.loop, "run_global_ba", gba)
+    object.__setattr__(cfg.loop, "background_gba", False)  # inline for staging prints
     system = System(cfg)
 
     # instrument the loop closer
     lc = system.loop_closer
     orig_correct = lc._correct_loop
-    orig_gba = lc._global_ba
+    orig_gba = lc._launch_global_ba
     orig_fuse = lc._search_and_fuse
 
     def corr(kf, cand, T_lc):
@@ -62,7 +63,7 @@ def run(gba: bool):
         map_ate(system, scene, "post-GBA")
 
     lc._correct_loop = corr
-    lc._global_ba = g
+    lc._launch_global_ba = g
     lc._search_and_fuse = fuse
 
     for i in range(scene.n_frames):

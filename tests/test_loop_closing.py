@@ -21,6 +21,7 @@ def test_loop_detected_on_circular_trajectory():
     assert system.tracker.state == TrackingState.OK
     assert system.loop_closer is not None
     assert system.loop_closer.loops_closed >= 1, "no loop closure fired"
+    system.loop_closer.wait_for_gba()  # background GBA merge must land
     # trajectory must be globally consistent after correction (est world is
     # anchored at the init frame; align there)
     traj = system.camera_trajectory()
@@ -70,3 +71,92 @@ def test_relocalization_after_blackout():
     assert system.tracker.state == TrackingState.OK, "relocalization failed"
     err = np.linalg.norm(frame.T_cw[:3, 3] - pose_at_5[:3, 3])
     assert err < 0.3, f"relocalized pose error {err:.3f} m"
+
+
+def test_background_gba_keeps_tracking_responsive():
+    """The GBA solve runs on a detached thread outside the map lock
+    (reference LoopClosing::RunGlobalBundleAdjustment + mbStopGBA,
+    src/LoopClosing.cc:648-752): with the solve artificially slowed,
+    tracking frame times while GBA is in flight stay bounded, and the
+    merge-back still lands."""
+    import time
+
+    scene = make_loop_scene(n_frames=48, seed=41, radius=7.0)
+    renderer = SyntheticRenderer(scene)
+    cfg = SystemConfig()
+    # the reference's thread topology: mapping + loop closing off the
+    # tracking thread (the CLI default); GBA additionally leaves the
+    # mapping worker for its own detached thread
+    cfg = cfg.replace(runtime=cfg.runtime.__class__(
+        **{**cfg.runtime.__dict__, "async_mapping": True}))
+
+    def run_once(slow: bool):
+        system = System(cfg)
+        lc = system.loop_closer
+        if slow:
+            orig_solve = lc._gba_solve
+
+            def slow_solve(snap):
+                time.sleep(1.5)  # make the background window span frames
+                return orig_solve(snap)
+
+            lc._gba_solve = slow_solve
+        frame_s, during_gba = [], []
+
+        def track(i, left, right):
+            in_flight = lc.gba_running
+            t0 = time.perf_counter()
+            system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)
+            dt = time.perf_counter() - t0
+            frame_s.append(dt)
+            # count frames that STARTED while the solve was in flight —
+            # the loop-closure frame itself waits on the essential-graph/
+            # fuse critical section exactly as the reference's tracking
+            # waits on mMutexMapUpdate during CorrectLoop
+            if in_flight:
+                during_gba.append(dt)
+
+        for i in range(scene.n_frames):
+            left, right, _ = renderer.render(i)
+            track(i, left, right)
+        # the loop closes near the sequence end; keep the camera running
+        # (stationary on the final view) so frames overlap the solve window
+        for j in range(12):
+            if not (lc.gba_running or lc.loops_closed == 0):
+                break
+            track(scene.n_frames + j, left, right)
+        system.wait_for_mapping()
+        lc.wait_for_gba()
+        system.shutdown()
+        return system, lc, frame_s, during_gba
+
+    # pass 1 warms every kernel (incl. the GBA solve at this problem
+    # shape) — the in-process jit cache carries to the timed pass, so the
+    # measurement sees steady-state latency, not one-time compiles
+    run_once(slow=False)
+    system, lc, frame_s, during_gba = run_once(slow=True)
+
+    assert lc.loops_closed >= 1, "no loop closure fired"
+    assert len(during_gba) >= 1, "GBA never overlapped with tracking"
+    assert lc.last_gba_stats is not None, "background GBA merge never landed"
+
+    # frames tracked WHILE the slowed GBA solve was in flight must not be
+    # blocked by it (the solve holds no lock; only the brief merge does).
+    # Warm-up compiles dominate the early frames; baseline on steady state.
+    med = float(np.median(frame_s[8:]))
+    worst = float(np.max(during_gba))
+    assert worst < 2.0 * med + 0.25, (
+        f"tracking stalled during GBA: worst {worst:.3f}s vs median {med:.3f}s"
+    )
+
+    # and the map is still globally consistent after the async merge
+    traj = system.camera_trajectory()
+    f0 = traj[0][0]
+    A = scene.poses_world[f0]
+    errs = [
+        np.linalg.norm((A @ np.linalg.inv(T))[:3, 3]
+                       - scene.poses_world[f][:3, 3])
+        for f, T, _ in traj if f < scene.n_frames
+    ]
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 0.25, f"ATE after background GBA {ate:.3f} m"

@@ -48,9 +48,15 @@ def test_gba_path_runs(tmp_path):
         left, right, _ = renderer.render(i)
         system.track_stereo(left, right, i * 0.1, i)
     n_pts_before = system.map.n_points()
-    # invoke the GBA path directly (loop closure rarely fires on short runs)
+    # invoke the GBA path directly (loop closure rarely fires on short
+    # runs): snapshot -> lock-free solve -> merge-back
     kf0 = int(system.map.keyframe_ids()[0])
-    system.loop_closer._global_ba(kf0)
+    lc = system.loop_closer
+    snap = lc._gba_snapshot(kf0)
+    assert snap is not None
+    result, stats = lc._gba_solve(snap)
+    lc._gba_merge(snap, result)
+    lc.last_gba_stats = stats
     assert system.map.n_points() == n_pts_before
     # poses stay finite and close to their pre-BA values on clean data
     for k in system.map.keyframe_ids():
