@@ -159,6 +159,56 @@ def make_scene(
     )
 
 
+def make_crowd_scene(
+    n_frames: int = 12,
+    camera: Optional[CameraConfig] = None,
+    n_objects: int = 14,
+    seed: int = 0,
+    forward_speed: float = 0.4,
+) -> SyntheticScene:
+    """Many simultaneously-visible moving boxes — the stress regime of the
+    reference's Max_OBJ_NUM=50 per-frame object surface (reference
+    include/Frame.h:42). Objects sit on a lateral x depth grid ahead of a
+    slowly-advancing camera so every one stays in frame with enough pixels
+    for feature tracking."""
+    cam = camera or CameraConfig()
+    rng = np.random.default_rng(seed)
+
+    poses = []
+    T = np.eye(4)
+    for i in range(n_frames):
+        poses.append(T.copy())
+        step = np.eye(4)
+        step[:3, 3] = np.array([0, 0, forward_speed])
+        T = T @ step
+
+    # two depth rows separated VERTICALLY so the far row is never occluded
+    # by the near one (a capacity fixture, not a street scene)
+    lanes = [-7.5, -5.0, -2.5, 0.0, 2.5, 5.0, 7.5]
+    objects = []
+    for k in range(n_objects):
+        dims = np.array([1.7, 1.6, 3.6])
+        row = k // len(lanes)
+        lane = lanes[k % len(lanes)] + rng.normal(scale=0.15)
+        y = 0.85 if row == 0 else -2.8
+        z0 = (9.5 if row == 0 else 13.5) + rng.normal(scale=0.3)
+        speed = forward_speed * (0.6 + 0.5 * rng.random())
+        obj_poses = []
+        for i in range(n_frames):
+            Two = np.eye(4)
+            Two[:3, 3] = np.array([lane, y, z0 + speed * i])
+            obj_poses.append(Two)
+        objects.append(
+            SyntheticObject(track_id=k, dims=dims, poses_world=obj_poses,
+                            is_moving=True)
+        )
+    return SyntheticScene(
+        camera=cam, n_frames=n_frames, poses_world=poses,
+        planes=_corridor_planes(half_width=9.0, seed=seed), objects=objects,
+        seed=seed,
+    )
+
+
 def make_loop_scene(
     n_frames: int = 40,
     camera: Optional[CameraConfig] = None,

@@ -98,6 +98,25 @@ class StereoFrontend:
             self._run_batch = jax.jit(jax.vmap(self._run_impl))
         return StereoFrame(*self._run_batch(jnp.asarray(lefts), jnp.asarray(rights)))
 
+    def batch_sharded(self, lefts, rights, mesh) -> StereoFrame:
+        """Mesh-sharded batched frontend: the batch axis is partitioned over
+        the mesh's first axis, each device extracting its shard of frames —
+        the load-bearing DP path of `run.py --dp` (SURVEY §2d). Batch size
+        must divide by the mesh axis (the runner pads)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if getattr(self, "_run_batch_sharded_mesh", None) is not mesh:
+            axis = mesh.axis_names[0]
+            sh = NamedSharding(mesh, P(axis))
+            self._run_batch_sharded = jax.jit(
+                jax.vmap(self._run_impl), in_shardings=(sh, sh)
+            )
+            self._run_batch_sharded_mesh = mesh
+        return StereoFrame(
+            *self._run_batch_sharded(jnp.asarray(lefts), jnp.asarray(rights))
+        )
+
     # ------------------------------------------------------------------
     def _frontend(self, left, right, gate, gate_r=None):
         ext = self.extractor
@@ -185,12 +204,19 @@ class StereoFrontend:
         )
         # second pass at full resolution: coarse-octave disparities carry
         # error proportional to their scale; re-fitting at level 0 removes
-        # it (see st.fine_refine)
-        return st.fine_refine(
-            levels_l[0], levels_r[0], ul, yl, u_right, depth, valid_st,
-            self.bf, level=fl.level,
-            min_level=self.config.stereo_fine_min_level,
-        )
+        # it (st.fine_refine). The per-level slot layout makes the coarse
+        # tail a STATIC slice, so the level-0 window gathers touch only the
+        # ~10% of keypoints that need them.
+        fine_min = self.config.stereo_fine_min_level
+        if fine_min < len(ext.budgets):
+            s0 = sum(ext.budgets[:fine_min])
+            uf, df, _ = st.fine_refine(
+                levels_l[0], levels_r[0], ul[s0:], yl[s0:],
+                u_right[s0:], depth[s0:], valid_st[s0:], self.bf,
+            )
+            u_right = jnp.concatenate([u_right[:s0], uf])
+            depth = jnp.concatenate([depth[:s0], df])
+        return u_right, depth, valid_st
 
     def _run_impl(self, left, right):
         return self._frontend(left, right, None)

@@ -57,6 +57,10 @@ def main(argv=None):
                          "refresh (mode-0 frames without masks)")
     ap.add_argument("--profile", action="store_true",
                     help="per-stage timing registry + counters in stats.json")
+    ap.add_argument("--dp", type=int, default=0, metavar="B",
+                    help="decode + extract frames in mesh-sharded batches "
+                         "of B ahead of sequential tracking (mode 0 only; "
+                         "shards over all visible devices)")
     ap.add_argument("--sync-mapping", action="store_true",
                     help="run mapping inline on the tracking thread instead "
                          "of the async worker (the reference always runs its "
@@ -84,7 +88,7 @@ def main(argv=None):
 
         enable_compile_cache()
 
-    from pointslot_tpu.config import SystemConfig, load_yaml
+    from pointslot_tpu.config import SLOTMode, SystemConfig, load_yaml
 
     cfg = SystemConfig()
     if args.config:
@@ -125,12 +129,18 @@ def main(argv=None):
         from pointslot_tpu.slam.checkpoint import load_checkpoint
 
         load_checkpoint(args.resume, system)
+    if args.dp and args.dp > 1:
+        if cfg.slot_mode != SLOTMode.SLAM:
+            ap.error("--dp requires mode 0 (detection gates are per-frame)")
+        frames = _dp_batched_frames(frames, args.dp, system)
+
     n = 0
     t0 = time.perf_counter()
-    for frame_id, ts, left, right, dets, inst, flow in frames:
+    for frame_id, ts, left, right, dets, inst, flow, *pre in frames:
         frame = system.track_stereo(left, right, ts, frame_id,
                                     detections=dets, instance_mask=inst,
-                                    flow=flow)
+                                    flow=flow,
+                                    precomputed=pre[0] if pre else None)
         if args.viz and frame_id % args.viz == 0:
             _save_overlay(args.out, frame_id, left, frame, dets, system, cfg)
         n += 1
@@ -245,6 +255,44 @@ def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
             img = draw_frame_cuboids(img, cuboids, cam.fx, cam.fy,
                                      cam.cx, cam.cy)
     save_png(os.path.join(viz_dir, f"frame_{frame_id:06d}.png"), img)
+
+
+def _dp_batched_frames(frames, batch: int, system):
+    """Decode + extract frames in mesh-sharded batches of `batch` ahead of
+    sequential tracking (SURVEY §2d DP — the load-bearing form: one sharded
+    dispatch extracts B frames across all devices while the host tracks the
+    previous batch). Yields the per-frame tuple extended with the
+    precomputed StereoFrame."""
+    import itertools
+
+    import jax
+    import numpy as np
+
+    from pointslot_tpu.ops.frontend import StereoFrame
+    from pointslot_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    # batch must divide by the dp axis; pad by repeating the last frame
+    mesh = make_mesh(n_dev, shape=(n_dev, 1)) if n_dev > 1 else None
+
+    it = iter(frames)
+    while True:
+        chunk = list(itertools.islice(it, batch))
+        if not chunk:
+            return
+        B = len(chunk)
+        pad = (-B) % (n_dev if mesh is not None else 1)
+        lefts = np.stack([c[2] for c in chunk]
+                         + [chunk[-1][2]] * pad)
+        rights = np.stack([c[3] for c in chunk]
+                          + [chunk[-1][3]] * pad)
+        if mesh is not None:
+            sf = system.frontend.batch_sharded(lefts, rights, mesh)
+        else:
+            sf = system.frontend.batch(lefts, rights)
+        for i, (frame_id, ts, left, right, dets, inst, flow) in enumerate(chunk):
+            one = StereoFrame(*[np.asarray(x[i]) for x in sf])
+            yield frame_id, ts, left, right, dets, inst, flow, one
 
 
 def _synthetic_frames(args, cfg):

@@ -23,7 +23,8 @@ _MAP_FIELDS = [
 _TRACK_SCALARS = ["track_id", "last_seen_frame", "last_seen_time", "dynamic",
                   "dyn_votes", "track_ok", "n_inliers"]
 _TRACK_ARRAYS = ["dims", "pt_pos", "pt_desc", "pt_valid", "pt_found",
-                 "pt_visible", "pt_first_okf", "pt_last_xy", "pt_last_frame",
+                 "pt_visible", "pt_first_okf", "pt_last_xy", "pt_last_angle",
+                 "pt_last_frame",
                  "obs"]
 _OKF_ARRAYS = ["xy", "level", "desc", "angle", "depth", "u_right", "point_idx",
                "T_co", "T_cw", "bbox"]

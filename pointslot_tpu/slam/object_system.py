@@ -129,11 +129,20 @@ class ObjectSystem:
         w, h = self.cfg.camera.width, self.cfg.camera.height
         scales = jnp.asarray(self._scales)
 
-        def one_brute(f_desc, f_angle, f_valid, p_desc, p_valid):
+        # ratio + rotation-histogram filtering, the reference's
+        # SearchByBruceMatching protocol (src/ORBmatcher.cc:2043-2155);
+        # point angles are their last observed keypoint orientation. When
+        # GMS is enabled the histogram is skipped, matching the reference's
+        # GMS path (TwoFrameObjectPointsBruceMatching src/ORBmatcher.cc:1982
+        # ratio-only brute + grid filter).
+        rot_check = not self.cfg.objects.use_gms
+
+        def one_brute(f_desc, f_angle, f_valid, p_desc, p_angle, p_valid):
             return matchers.brute_match(
                 f_desc, f_angle, f_valid,
-                p_desc, jnp.zeros(p_desc.shape[0], jnp.float32), p_valid,
-                nn_ratio=0.9, th_desc=matchers.TH_HIGH, check_rotation=False,
+                p_desc, p_angle, p_valid,
+                nn_ratio=0.9, th_desc=matchers.TH_HIGH,
+                check_rotation=rot_check,
             ).idx_b_for_a
 
         self._brute_batched = jax.jit(jax.vmap(one_brute))
@@ -365,6 +374,7 @@ class ObjectSystem:
                 track.pt_found[rows] = 1
                 track.pt_visible[rows] = 1
                 track.pt_last_xy[rows] = okf.xy[new_sel]
+                track.pt_last_angle[rows] = okf.angle[new_sel]
                 track.pt_last_frame[rows] = okf.frame_id
                 okf.point_idx[new_sel] = rows
                 track.obs[rows, okf_idx] = True
@@ -538,6 +548,7 @@ class ObjectSystem:
 
         P = self.cfg.objects.max_object_points
         f_xy = np.zeros((O_pad, F_CAP, 2), np.float32)
+        pt_angle = np.zeros((O_pad, P), np.float32)
         f_level = np.zeros((O_pad, F_CAP), np.int32)
         f_desc = np.zeros((O_pad, F_CAP, 8), np.uint32)
         f_angle = np.zeros((O_pad, F_CAP), np.float32)
@@ -559,6 +570,7 @@ class ObjectSystem:
             f_valid[oi, :n] = feats.valid[fsel]
             pt_pos[oi] = track.pt_pos
             pt_desc[oi] = track.pt_desc
+            pt_angle[oi] = track.pt_last_angle
             pt_valid[oi] = track.pt_valid
             Tp = track.predict_pose_cf(det.frame_id, T_cw)
             if Tp is None:
@@ -569,7 +581,7 @@ class ObjectSystem:
         # stage 1: batched brute match (SearchByBruceMatching analog)
         bind_j = self._brute_batched(
             jnp.asarray(f_desc), jnp.asarray(f_angle), jnp.asarray(f_valid),
-            jnp.asarray(pt_desc), jnp.asarray(pt_valid),
+            jnp.asarray(pt_desc), jnp.asarray(pt_angle), jnp.asarray(pt_valid),
         )
         binds = [np.asarray(bind_j[oi]).astype(np.int64)[: len(fsels[oi])]
                  for oi in range(O)]
@@ -709,6 +721,7 @@ class ObjectSystem:
             # record last observed pixel per point (flow-warp anchor)
             fidx = np.nonzero(bind >= 0)[0]
             track.pt_last_xy[bind[fidx]] = feats.xy[fsels[oi][fidx]]
+            track.pt_last_angle[bind[fidx]] = feats.angle[fsels[oi][fidx]]
             track.pt_last_frame[bind[fidx]] = det.frame_id
             if n_inl < self.cfg.objects.min_tracked_points:
                 track.track_ok = False

@@ -99,6 +99,7 @@ class ObjectTrack:
     # anchor for offline-optical-flow warping (the reference reads the
     # last frame's keypoint positions directly, src/ORBmatcher.cc:2257)
     pt_last_xy: np.ndarray = None    # (P, 2) float32
+    pt_last_angle: np.ndarray = None  # (P,) float32 keypoint orientation
     pt_last_frame: np.ndarray = None  # (P,) int64, -1 = never
 
     keyframes: List[ObjectKeyFrameRec] = field(default_factory=list)
@@ -132,6 +133,7 @@ class ObjectTrack:
         self.pt_visible = np.zeros(P, np.int32)
         self.pt_first_okf = np.full(P, -1, np.int32)
         self.pt_last_xy = np.zeros((P, 2), np.float32)
+        self.pt_last_angle = np.zeros(P, np.float32)
         self.pt_last_frame = np.full(P, -1, np.int64)
         self.obs = np.zeros((P, self.MAX_OKF), bool)
 

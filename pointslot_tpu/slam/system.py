@@ -272,7 +272,8 @@ class System:
 
     # ------------------------------------------------------------------
     def track_stereo(self, left, right, timestamp: float, frame_id: int,
-                     detections=None, instance_mask=None, flow=None):
+                     detections=None, instance_mask=None, flow=None,
+                     precomputed=None):
         """Per-frame entry point (reference System::TrackStereo).
 
         detections / instance_mask feed the object pipeline in SLOT modes
@@ -281,6 +282,9 @@ class System:
         offline mode) — the next frame's object tracking warps point
         anchors through it (the reference stores it on the Frame,
         src/Frame.cc:700, and reads LastFrame's, src/ORBmatcher.cc:2268).
+        precomputed: a StereoFrame extracted ahead of time (the runner's
+        --dp mesh-sharded batched frontend); skips in-loop extraction —
+        only valid when no detection gate applies (mode 0).
         """
         t0 = time.perf_counter()
         left = np.asarray(left)
@@ -358,7 +362,8 @@ class System:
         # the cross-host pipeline mode
         c = self.cfg.camera
         fast_ok = (
-            self._fast is not None
+            precomputed is None
+            and self._fast is not None
             and self._pipeline is None
             and c.k1 == 0 and c.k2 == 0 and c.p1 == 0 and c.p2 == 0
             and self._fast.ready(self.tracker)
@@ -389,8 +394,11 @@ class System:
                     frame = self._fast.fallback_frame(frame_id)
                     self.tracker.track(frame)
         if not fast_ok:
-            with self.profiler.timer("frontend"):
-                sf = self.frontend(left, right, gate=gate)
+            if precomputed is not None and gate is None:
+                sf = precomputed
+            else:
+                with self.profiler.timer("frontend"):
+                    sf = self.frontend(left, right, gate=gate)
             frame = self._build_frame_record(sf, gate, frame_id)
             if self._pipeline is not None:
                 # fold in any finished mapping-host work (BA poses, culls,

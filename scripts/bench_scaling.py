@@ -149,6 +149,64 @@ def main():
     ):
         print(json.dumps(rec), flush=True)
 
+    _bench_dp(frames)
+
+
+def _bench_dp(frames):
+    """DP frontend scaling on the visible device mesh (the `run.py --dp`
+    path): serial per-frame extraction vs one mesh-sharded batched dispatch
+    over the same frames."""
+    import jax
+
+    from pointslot_tpu.config import CameraConfig, ORBConfig
+    from pointslot_tpu.ops.frontend import StereoFrontend
+    from pointslot_tpu.parallel.mesh import make_mesh
+
+    cam = CameraConfig()
+    lefts = np.stack([f[0] for f in frames])
+    rights = np.stack([f[1] for f in frames])
+    h, w = lefts.shape[1:3]
+    fe = StereoFrontend(h, w, cam.fx, cam.bf, ORBConfig())
+    n_dev = len(jax.devices())
+    virtual_cpu = jax.devices()[0].platform == "cpu"
+    B = max((len(frames) // max(n_dev, 1)) * max(n_dev, 1), 8)
+    B = min(B, len(frames))
+    lefts, rights = lefts[:B], rights[:B]
+
+    # warm + time the single-device batched path (this is the per-chip DP
+    # number; virtual CPU devices serialize execution, so the sharded
+    # variant is only semantics-checked there, not timed as scaling)
+    fe(lefts[0], rights[0]).valid.block_until_ready()
+    fe.batch(lefts, rights).valid.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(B):
+        fe(lefts[i], rights[i]).valid.block_until_ready()
+    t_serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    fe.batch(lefts, rights).valid.block_until_ready()
+    t_dp = time.perf_counter() - t0
+
+    sharded_ok = None
+    if n_dev > 1 and B % n_dev == 0:
+        mesh = make_mesh(n_dev, shape=(n_dev, 1))
+        out = fe.batch_sharded(lefts, rights, mesh)
+        sharded_ok = bool(np.isfinite(np.asarray(out.xy)).all())
+
+    for rec in (
+        {"metric": "dp_serial_frontend_fps", "value": round(B / t_serial, 2),
+         "unit": "frames/s"},
+        {"metric": "dp_batched_frontend_fps", "value": round(B / t_dp, 2),
+         "unit": "frames/s", "batch": B},
+        {"metric": "dp_batched_speedup", "value": round(t_serial / t_dp, 3),
+         "unit": "x", "batch": B,
+         "sharded_8dev_executes": sharded_ok,
+         "note": ("virtual CPU devices serialize execution; sharded timing "
+                  "is only meaningful on real chips" if virtual_cpu else "")},
+    ):
+        print(json.dumps(rec), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -113,3 +113,63 @@ def test_async_close_to_sync():
     ps = {f: np.linalg.inv(T)[:3, 3] for f, T, _ in traj_s}
     diffs = [np.linalg.norm(pa[f] - ps[f]) for f in fa & fs]
     assert np.median(diffs) < 0.1
+
+
+def test_worker_drain_ordering_and_shutdown_stress():
+    """Ordering/stress for the mapping-worker drain (system.py worker):
+    randomized high-rate interleavings of camera and object items must be
+    processed exactly once, camera keyframes in FIFO order, and the
+    drained-shutdown-sentinel re-arm must terminate the worker cleanly
+    even when the sentinel lands inside an object batch."""
+    import random
+    import time
+
+    from pointslot_tpu.config import SLOTMode
+
+    rng = random.Random(7)
+    for trial in range(6):
+        cfg = SystemConfig(slot_mode=SLOTMode.OFFLINE)
+        cfg = cfg.replace(runtime=cfg.runtime.__class__(
+            **{**cfg.runtime.__dict__, "async_mapping": True}))
+        system = System(cfg)
+        processed = []
+
+        def fake_cam(kf, _rec=processed):
+            _rec.append(("camera", kf))
+            time.sleep(0.0005)
+
+        def fake_obj(batch, _rec=processed):
+            for tid, det in batch:
+                _rec.append(("object", tid))
+            time.sleep(0.001)
+
+        system._process_keyframe_sync = fake_cam
+        system._object_system.process_object_tasks = fake_obj
+
+        # randomized interleaving, bursts of objects to trigger the drain
+        sent = []
+        cam_id = 0
+        for _ in range(rng.randint(20, 60)):
+            if rng.random() < 0.4:
+                system._mapping_queue.put(("camera", cam_id))
+                sent.append(("camera", cam_id))
+                cam_id += 1
+            else:
+                for _ in range(rng.randint(1, 12)):
+                    tid = rng.randint(0, 99)
+                    system._mapping_queue.put(("object", tid, None))
+                    sent.append(("object", tid))
+            if rng.random() < 0.2:
+                time.sleep(0.002)
+        # shutdown immediately — the sentinel may land mid-burst
+        stats = system.shutdown()
+        assert system._mapping_thread is None
+        assert system._mapping_queue.unfinished_tasks == 0, (
+            f"trial {trial}: task_done bookkeeping leaked"
+        )
+
+        # exactly-once processing
+        assert sorted(processed) == sorted(sent), f"trial {trial}"
+        # camera keyframes strictly in FIFO order
+        cams = [k for tag, k in processed if tag == "camera"]
+        assert cams == sorted(cams), f"trial {trial}: camera order {cams}"
