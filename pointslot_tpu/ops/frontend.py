@@ -179,16 +179,26 @@ class StereoFrontend:
         scaled_vl = jnp.round(yl * inv_scale).astype(jnp.int32)
         scaled_ur = jnp.round(u0r * inv_scale).astype(jnp.int32)
 
-        patches_r = []
+        # one stacked patch-DMA launch for the right candidate windows
+        from pointslot_tpu.ops.pallas_patch import (
+            extract_patches_stack, stack_pyramid_for_patches,
+        )
+
+        xyl_r = []
         offset = 0
         for lvl, budget in enumerate(ext.budgets):
             seg = slice(offset, offset + budget)
             offset += budget
-            patches_r.append(
-                extract_patches(levels_r[lvl], scaled_ur[seg], scaled_vl[seg],
-                                use_pallas=ext.use_pallas)
-            )
-        patch_r = jnp.concatenate(patches_r, axis=0)
+            h, w = ext.shapes[lvl]
+            xyl_r.append(jnp.stack([
+                jnp.clip(scaled_ur[seg], 0, w - 1),
+                jnp.clip(scaled_vl[seg], 0, h - 1),
+                jnp.full((budget,), lvl, jnp.int32),
+            ], axis=1).astype(jnp.int32))
+        patch_r = extract_patches_stack(
+            stack_pyramid_for_patches(levels_r), jnp.concatenate(xyl_r),
+            use_pallas=ext.use_pallas,
+        )
 
         lh = self._lshapes[fl.level, 0]
         lw = self._lshapes[fl.level, 1]
@@ -210,9 +220,36 @@ class StereoFrontend:
         fine_min = self.config.stereo_fine_min_level
         if fine_min < len(ext.budgets):
             s0 = sum(ext.budgets[:fine_min])
-            uf, df, _ = st.fine_refine(
-                levels_l[0], levels_r[0], ul[s0:], yl[s0:],
-                u_right[s0:], depth[s0:], valid_st[s0:], self.bf,
+            H0, W0 = levels_l[0].shape
+            u0 = jnp.round(u_right[s0:]).astype(jnp.int32)
+            v0 = jnp.round(yl[s0:]).astype(jnp.int32)
+            ulr = jnp.round(ul[s0:]).astype(jnp.int32)
+            margin = st._W + st._L + 1
+            inb = (
+                (v0 - margin >= 0) & (v0 + margin < H0)
+                & (ulr - margin >= 0) & (ulr + margin < W0)
+                & (u0 - margin >= 0) & (u0 + margin < W0)
+            )
+            # one launch for both L and R windows: the two images stack on
+            # the patch canvas and the level column selects between them
+            from pointslot_tpu.ops.pallas_patch import (
+                extract_patches_stack, stack_pyramid_for_patches,
+            )
+
+            n_t = v0.shape[0]
+            lr_stack = stack_pyramid_for_patches([levels_l[0], levels_r[0]])
+            xyl = jnp.concatenate([
+                jnp.stack([jnp.clip(ulr, 0, W0 - 1), jnp.clip(v0, 0, H0 - 1),
+                           jnp.zeros_like(ulr)], axis=1),
+                jnp.stack([jnp.clip(u0, 0, W0 - 1), jnp.clip(v0, 0, H0 - 1),
+                           jnp.ones_like(u0)], axis=1),
+            ]).astype(jnp.int32)
+            both = extract_patches_stack(lr_stack, xyl,
+                                         use_pallas=ext.use_pallas)
+            pl0, pr0 = both[:n_t], both[n_t:]
+            uf, df, _ = st.fine_refine_from_patches(
+                pl0, pr0, ul[s0:], u_right[s0:], depth[s0:],
+                valid_st[s0:] & inb, self.bf,
             )
             u_right = jnp.concatenate([u_right[:s0], uf])
             depth = jnp.concatenate([depth[:s0], df])

@@ -172,15 +172,29 @@ class ORBExtractor:
         cs = self.cell_size
         h, w = score.shape
         hc, wc = -(-h // cs), -(-w // cs)
-        padded = jnp.pad(score, ((0, hc * cs - h), (0, wc * cs - w)))
-        cells = padded.reshape(hc, cs, wc, cs).transpose(0, 2, 1, 3).reshape(hc, wc, cs * cs)
-        idx = jnp.argmax(cells, axis=-1)                      # (hc, wc)
-        best = jnp.take_along_axis(cells, idx[..., None], axis=-1)[..., 0]
-        cy = idx // cs + jnp.arange(hc)[:, None] * cs
-        cx = idx % cs + jnp.arange(wc)[None, :] * cs
-        flat_scores = best.reshape(-1)
-        flat_y = cy.reshape(-1)
-        flat_x = cx.reshape(-1)
+        # per-cell max + argmax WITHOUT retiling the score map: the naive
+        # reshape(hc,cs,wc,cs).transpose lowers to a chain of async slices
+        # on TPU's (8,128) tiled layout (traced at ~2 ms/frame across the
+        # 16 per-level calls); reduce_window keeps the native layout.
+        pad_cfg = ((0, hc * cs - h), (0, wc * cs - w))  # high-side only
+        cellmax = jax.lax.reduce_window(
+            score, -jnp.inf, jax.lax.max, (cs, cs), (cs, cs), pad_cfg
+        )                                                     # (hc, wc)
+        up = jnp.repeat(jnp.repeat(cellmax, cs, 0), cs, 1)[:h, :w]
+        flat_idx = (
+            jnp.arange(h, dtype=jnp.int32)[:, None] * w
+            + jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        none = jnp.int32(h * w)
+        masked_idx = jnp.where((score >= up) & (score > 0), flat_idx, none)
+        cell_idx = jax.lax.reduce_window(
+            masked_idx, none, jax.lax.min, (cs, cs), (cs, cs), pad_cfg
+        )                                                     # (hc, wc)
+        has = cell_idx < none
+        cell_idx = jnp.where(has, cell_idx, 0)
+        flat_scores = jnp.where(has, cellmax, 0.0).reshape(-1)
+        flat_y = (cell_idx // w).reshape(-1)
+        flat_x = (cell_idx % w).reshape(-1)
         if k > flat_scores.shape[0]:
             pad = k - flat_scores.shape[0]
             flat_scores = jnp.pad(flat_scores, (0, pad))
@@ -263,10 +277,12 @@ class ORBExtractor:
         cross-level concatenated batch — one big MXU dispatch each instead of
         n_levels small ones (the small-batch per-level chain dominated the
         on-chip extraction profile)."""
-        from pointslot_tpu.ops.pallas_patch import extract_patches
+        from pointslot_tpu.ops.pallas_patch import (
+            extract_patches_stack, stack_pyramid_for_patches,
+        )
 
         cfg = self.config
-        out_xy, out_resp, out_lvl, out_valid, out_patch = [], [], [], [], []
+        out_xy, out_resp, out_lvl, out_valid, out_xyl = [], [], [], [], []
         for lvl, (img_l, score) in enumerate(zip(levels, scores)):
             h, w = self.shapes[lvl]
             # border suppression
@@ -277,16 +293,22 @@ class ORBExtractor:
             k = self.budgets[lvl]
             top, ys, xs = self._select_cells(score, k)
             valid = top > 0.0
-            out_patch.append(
-                extract_patches(img_l, xs, ys, use_pallas=self.use_pallas)
-            )
+            out_xyl.append(jnp.stack([
+                jnp.clip(xs, 0, w - 1), jnp.clip(ys, 0, h - 1),
+                jnp.full_like(xs, lvl),
+            ], axis=1).astype(jnp.int32))
             scale = jnp.float32(cfg.scale_factor ** lvl)
             xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
             out_xy.append(xy0)
             out_resp.append(top)
             out_lvl.append(jnp.full((top.shape[0],), lvl, jnp.int32))
             out_valid.append(valid)
-        patches = jnp.concatenate(out_patch)                    # (capacity, 48, 48)
+        # ONE patch-DMA launch for all levels (per-level launches are
+        # launch-overhead-bound on TPU)
+        patches = extract_patches_stack(
+            stack_pyramid_for_patches(levels), jnp.concatenate(out_xyl),
+            use_pallas=self.use_pallas,
+        )                                                       # (capacity, 48, 48)
         angle = self._orientation_from_patches(patches)
         desc = self._descriptors_from_patches(self._blur_patches(patches), angle)
         feats = (

@@ -112,6 +112,79 @@ def extract_patches(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return _extract_patches_xla(img_padded, xy_corner)
 
 
+def _patch_kernel_stack(xy_ref, img_ref, out_ref, scratch, sem):
+    k = pl.program_id(0)
+    x = xy_ref[k, 0]
+    y = xy_ref[k, 1]
+    lvl = xy_ref[k, 2]
+    y_al = (y // 8) * 8
+    x_al = (x // 128) * 128
+    dy = y - y_al
+    dx = x - x_al
+    cp = pltpu.make_async_copy(
+        img_ref.at[lvl, pl.ds(y_al, _RY), pl.ds(x_al, _RX)], scratch, sem
+    )
+    cp.start()
+    cp.wait()
+    R = (
+        jax.lax.broadcasted_iota(jnp.int32, (PATCH, _RY), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (PATCH, _RY), 0) + dy
+    ).astype(jnp.float32)
+    C = (
+        jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 1) + dx
+    ).astype(jnp.float32)
+    tmp = jnp.dot(R, scratch[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    out_ref[0] = jnp.dot(tmp, C, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def stack_pyramid_for_patches(levels) -> jnp.ndarray:
+    """Pad every pyramid level onto level-0's patch-padded canvas and stack:
+    (n_levels, Hp, Wp). One canvas means ONE kernel launch fetches patches
+    from any level (the per-level launches were ~60 us each, launch-bound)."""
+    ref = pad_for_patches(levels[0])
+    Hp, Wp = ref.shape
+    out = [ref]
+    for im in levels[1:]:
+        out.append(jnp.pad(
+            im, ((HALF, Hp - im.shape[0] - HALF), (HALF, Wp - im.shape[1] - HALF))
+        ))
+    return jnp.stack(out)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def extract_patches_stack(stack: jnp.ndarray, xyl: jnp.ndarray,
+                          use_pallas: bool = True) -> jnp.ndarray:
+    """stack: (L, Hp, Wp) from stack_pyramid_for_patches. xyl: (K, 3) int32
+    (x, y, level) with x/y CENTER coords already clamped to their level's
+    extent. Returns (K, 48, 48) patches centered at the keypoint."""
+    K = xyl.shape[0]
+    if use_pallas:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(K,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, PATCH, PATCH), lambda k, xy: (k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((_RY, _RX), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+        )
+        return pl.pallas_call(
+            _patch_kernel_stack,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((K, PATCH, PATCH), stack.dtype),
+        )(xyl, stack)
+    dy = jnp.arange(PATCH)
+    dx = jnp.arange(PATCH)
+    rows = xyl[:, 1:2] + dy[None, :]
+    cols = xyl[:, 0:1] + dx[None, :]
+    return stack[xyl[:, 2][:, None, None], rows[:, :, None], cols[:, None, :]]
+
+
 def default_use_pallas() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)

@@ -131,6 +131,53 @@ def _gather_windows(img, vc, uc, dy, dx):
     return img[rows[:, :, None], cols[:, None, :]]
 
 
+def fine_refine_from_patches(
+    patch_l, patch_r,            # (N, P, P) level-0 windows centered at the
+    #                              rounded left kp / right candidate coords
+    ul,                          # (N,) float32 left keypoint u, level-0
+    u_right, depth, valid,       # coarse (octave-level) SAD results
+    bf: float,
+):
+    """fine_refine with the windows pre-fetched by the patch-DMA kernel
+    (extract_patches custom call) — on TPU the dynamic window gathers of
+    fine_refine lower to slow fusions + index copies (~1 ms/frame traced);
+    the DMA kernel fetches the same windows in ~0.05 ms."""
+    P = patch_l.shape[1]
+    c = P // 2
+    u0 = jnp.round(u_right).astype(jnp.int32)
+
+    lw = patch_l[:, c - _W : c + _W + 1, c - _W : c + _W + 1]
+    wide_r = patch_r[:, c - _W : c + _W + 1, c - _W - _L : c + _W + _L + 1]
+    norm_l = lw - lw[:, _W, _W][:, None, None]
+    sads = []
+    for k in range(2 * _L + 1):
+        win = wide_r[:, :, k : k + 2 * _W + 1]
+        win = win - win[:, _W, _W][:, None, None]
+        sads.append(jnp.sum(jnp.abs(norm_l - win), axis=(1, 2)))
+    sads = jnp.stack(sads, axis=1)
+    best_k = jnp.argmin(sads, axis=1)
+    best_sad = jnp.take_along_axis(sads, best_k[:, None], axis=1)[:, 0]
+    interior = (best_k > 0) & (best_k < 2 * _L)
+    km = jnp.clip(best_k - 1, 0, 2 * _L)
+    kp_ = jnp.clip(best_k + 1, 0, 2 * _L)
+    s_m = jnp.take_along_axis(sads, km[:, None], axis=1)[:, 0]
+    s_p = jnp.take_along_axis(sads, kp_[:, None], axis=1)[:, 0]
+    denom = s_m + s_p - 2.0 * best_sad
+    delta = jnp.where(jnp.abs(denom) > 1e-6, (s_m - s_p) / (2.0 * denom), 0.0)
+    delta_ok = (delta > -1.0) & (delta < 1.0)
+
+    u_fine = u0.astype(jnp.float32) + (best_k - _L).astype(jnp.float32) + delta
+    disparity = ul - u_fine
+    accept = (
+        valid & interior & delta_ok
+        & (disparity > 0.0)
+        & (jnp.abs(u_fine - u_right) <= float(_L))
+    )
+    u_out = jnp.where(accept, u_fine, u_right)
+    d_out = jnp.where(accept, bf / jnp.maximum(disparity, 1e-3), depth)
+    return u_out, d_out, valid
+
+
 def fine_refine(
     img_l, img_r,                # full-resolution (level-0) images
     ul, vl,                      # (N,) float32 left keypoint, level-0 coords

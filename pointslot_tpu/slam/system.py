@@ -437,18 +437,28 @@ class System:
             xy_und = np.asarray(undistort_points(
                 xy, c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2
             ))
+            # the right-image match undistorts through the right camera's
+            # model at the left row (L/R share intrinsics here, like the
+            # reference's single mDistCoef)
             has_st = u_right >= 0
-            u_right = np.where(
-                has_st, u_right + (xy_und[:, 0] - xy[:, 0]), u_right
-            ).astype(u_right.dtype)
+            ur_xy = np.stack([np.where(has_st, u_right, 0.0), xy[:, 1]], 1)
+            ur_und = np.asarray(undistort_points(
+                ur_xy, c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2
+            ))[:, 0]
+            u_right = np.where(has_st, ur_und, u_right).astype(u_right.dtype)
+            # depth re-derives from the UNDISTORTED disparity
+            disp = np.maximum(xy_und[:, 0] - u_right, 1e-3)
+            depth = np.where(has_st, c.bf / disp, -1.0).astype(np.float32)
             xy = xy_und
+        else:
+            depth = np.asarray(sf.depth)
         frame = FrameRecord(
             frame_id=frame_id,
             xy=xy,
             level=np.asarray(sf.level),
             desc=np.asarray(sf.desc),
             angle=np.asarray(sf.angle),
-            depth=np.asarray(sf.depth),
+            depth=depth,
             u_right=u_right,
             valid=np.asarray(sf.valid),
             point_idx=np.full(sf.xy.shape[0], -1, np.int64),
