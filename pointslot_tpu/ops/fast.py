@@ -37,37 +37,44 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     Returns (H, W) float32: 0 where not a corner at `threshold`, else the
     corner score (max threshold at which the pixel remains a corner).
     Border of 3px is zero.
+
+    Formulation: the 16 ring differences are lazy slices of a 3px-padded
+    image (XLA fuses slices into consumers — no materialized (16, H, W)
+    roll stack), and the min/max over every circular arc of 9 is built by
+    DOUBLING (m2 -> m4 -> m8 -> m9): 64 elementwise min ops per side
+    instead of the 128 of the unrolled window scan. bf16 on accelerators —
+    level-0 intensities (integers <= 255) are exact in bf16; interpolated
+    coarse-level values round by <= 0.5, immaterial against the FAST
+    thresholds (5/20). CPU (the oracle-test backend) keeps f32.
     """
-    # 16 shifted copies: ring[k][y, x] = img[y + dy_k, x + dx_k].
-    # On accelerators the (16, H, W) chain is HBM-bound: bf16 halves its
-    # traffic. Level-0 intensities (integers <= 255) are exact in bf16;
-    # interpolated coarse-level values round by <= 0.5, immaterial against
-    # the FAST thresholds (5/20). CPU (the oracle-test backend) keeps f32.
+    import functools as _ft
+
     import jax
 
     dt = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    h, w = img.shape
     imgb = img.astype(dt)
-    ring = jnp.stack(
-        [jnp.roll(imgb, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE], axis=0
-    )  # (16, H, W)
-    diff = ring - imgb[None, :, :]  # (16, H, W)
+    padded = jnp.pad(imgb, 3)
+    # d[k][y, x] = img[y + dy_k, x + dx_k] - img[y, x]; border wraps/zeros
+    # differ from the roll version only inside the 3px frame zeroed below.
+    d = [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] - imgb
+         for dy, dx in CIRCLE]
 
-    # For each contiguous arc of 9, the corner strength on the bright side is
-    # min(diff) over the arc; on the dark side it's min(-diff). Score is the
-    # max over all 16 arcs of both sides; corner iff score > threshold.
-    # (The unrolled per-arc mins fuse better on TPU than a doubling sparse
-    # table built from jnp.roll — rolls materialize full (16,H,W) copies.)
-    diff_ext = jnp.concatenate([diff, diff[: ARC_LEN - 1]], axis=0)  # (24, H, W)
+    def _rot(xs, s):
+        return xs[s:] + xs[:s]
 
-    def arc_min(d):
-        # windows of length 9 along axis 0 -> (16, H, W)
-        mins = []
-        for s in range(16):
-            mins.append(jnp.min(d[s : s + ARC_LEN], axis=0))
-        return jnp.stack(mins, axis=0)
-
-    bright = jnp.max(arc_min(diff_ext), axis=0)      # most positive arc-min
-    dark = jnp.max(arc_min(-diff_ext), axis=0)
+    # bright side: score = max over the 16 arcs of (min of d over the arc)
+    mn2 = [jnp.minimum(a, b) for a, b in zip(d, _rot(d, 1))]
+    mn4 = [jnp.minimum(a, b) for a, b in zip(mn2, _rot(mn2, 2))]
+    mn8 = [jnp.minimum(a, b) for a, b in zip(mn4, _rot(mn4, 4))]
+    mn9 = [jnp.minimum(a, b) for a, b in zip(mn8, _rot(d, 8))]
+    bright = _ft.reduce(jnp.maximum, mn9)
+    # dark side: max over arcs of min(-d) = -(min over arcs of max(d))
+    mx2 = [jnp.maximum(a, b) for a, b in zip(d, _rot(d, 1))]
+    mx4 = [jnp.maximum(a, b) for a, b in zip(mx2, _rot(mx2, 2))]
+    mx8 = [jnp.maximum(a, b) for a, b in zip(mx4, _rot(mx4, 4))]
+    mx9 = [jnp.maximum(a, b) for a, b in zip(mx8, _rot(d, 8))]
+    dark = -_ft.reduce(jnp.minimum, mx9)
     score = jnp.maximum(bright, dark).astype(jnp.float32)
     score = jnp.where(score > threshold, score, 0.0)
 

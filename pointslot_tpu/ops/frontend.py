@@ -163,7 +163,6 @@ class StereoFrontend:
         import numpy as np
 
         from pointslot_tpu.ops import stereo as st
-        from pointslot_tpu.ops.pallas_patch import extract_patches
 
         ext = self.extractor
         best_idx, matched = st.stereo_candidates(

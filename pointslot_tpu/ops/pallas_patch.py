@@ -33,54 +33,6 @@ _RY = PATCH + 8     # aligned DMA region rows
 _RX = 256           # aligned DMA region cols (two lane tiles)
 
 
-def _patch_kernel(xy_ref, img_ref, out_ref, scratch, sem):
-    k = pl.program_id(0)
-    x = xy_ref[k, 0]
-    y = xy_ref[k, 1]
-    y_al = (y // 8) * 8
-    x_al = (x // 128) * 128
-    dy = y - y_al
-    dx = x - x_al
-    cp = pltpu.make_async_copy(
-        img_ref.at[pl.ds(y_al, _RY), pl.ds(x_al, _RX)], scratch, sem
-    )
-    cp.start()
-    cp.wait()
-    # one-hot shift matmuls: out[i, j] = scratch[i + dy, j + dx]
-    R = (
-        jax.lax.broadcasted_iota(jnp.int32, (PATCH, _RY), 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (PATCH, _RY), 0) + dy
-    ).astype(jnp.float32)
-    C = (
-        jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 1) + dx
-    ).astype(jnp.float32)
-    tmp = jnp.dot(R, scratch[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = jnp.dot(tmp, C, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-
-
-def _extract_patches_pallas(img_padded: jnp.ndarray, xy_corner: jnp.ndarray):
-    K = xy_corner.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (1, PATCH, PATCH), lambda k, xy: (k, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.VMEM((_RY, _RX), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
-    )
-    return pl.pallas_call(
-        _patch_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((K, PATCH, PATCH), img_padded.dtype),
-    )(xy_corner, img_padded)
-
-
 def _extract_patches_xla(img_padded: jnp.ndarray, xy_corner: jnp.ndarray):
     dy = jnp.arange(PATCH)
     dx = jnp.arange(PATCH)
@@ -91,8 +43,9 @@ def _extract_patches_xla(img_padded: jnp.ndarray, xy_corner: jnp.ndarray):
 
 def pad_for_patches(img: jnp.ndarray) -> jnp.ndarray:
     """Pad so any in-image-centered patch window (plus DMA alignment slop)
-    stays in bounds: HALF top/left, HALF + alignment slack bottom/right."""
-    return jnp.pad(img, ((HALF, HALF + 8), (HALF, HALF + _RX - PATCH)))
+    stays in bounds: HALF top/left, HALF + alignment slack bottom/right
+    (16 rows of slack covers the bf16 canvas's 16-row sublane alignment)."""
+    return jnp.pad(img, ((HALF, HALF + 16), (HALF, HALF + _RX - PATCH)))
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
@@ -108,48 +61,79 @@ def extract_patches(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     ).astype(jnp.int32)
     # corner coords in padded frame: center - HALF + HALF = center
     if use_pallas:
-        return _extract_patches_pallas(img_padded, xy_corner)
+        xyl = jnp.concatenate(
+            [xy_corner, jnp.zeros((xy_corner.shape[0], 1), jnp.int32)], axis=1
+        )
+        return extract_patches_stack(img_padded[None], xyl, use_pallas=True)
     return _extract_patches_xla(img_padded, xy_corner)
 
 
-def _patch_kernel_stack(xy_ref, img_ref, out_ref, scratch, sem):
+_GROUP = 8  # patches fetched per grid step (DMAs overlap within a step)
+
+
+def _patch_kernel_stack(xy_ref, img_ref, out_ref, scratch, sems):
+    """One grid step fetches _GROUP patches: all DMAs start first (they
+    overlap in flight), then each is waited + shift-aligned in turn. Cuts
+    grid steps (and the per-step SMEM prefetch that capped K near 2048)
+    by _GROUP x vs the one-patch-per-step kernel.
+
+    The kernel is DMA-bandwidth-bound (each patch overfetches an aligned
+    superset of its window), so the canvas is bf16 on TPU — half the
+    traffic; the shift matmuls accumulate in f32 and bf16 holds 0..255
+    intensities exactly at level 0 (coarser levels round by <= 0.5)."""
     k = pl.program_id(0)
-    x = xy_ref[k, 0]
-    y = xy_ref[k, 1]
-    lvl = xy_ref[k, 2]
-    y_al = (y // 8) * 8
-    x_al = (x // 128) * 128
-    dy = y - y_al
-    dx = x - x_al
-    cp = pltpu.make_async_copy(
-        img_ref.at[lvl, pl.ds(y_al, _RY), pl.ds(x_al, _RX)], scratch, sem
-    )
-    cp.start()
-    cp.wait()
-    R = (
-        jax.lax.broadcasted_iota(jnp.int32, (PATCH, _RY), 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (PATCH, _RY), 0) + dy
-    ).astype(jnp.float32)
-    C = (
-        jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 1) + dx
-    ).astype(jnp.float32)
-    tmp = jnp.dot(R, scratch[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = jnp.dot(tmp, C, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    ry = scratch.shape[1]
+    y_gran = 16 if scratch.dtype == jnp.bfloat16 else 8
+    cps = []
+    for b in range(_GROUP):
+        i = k * _GROUP + b
+        y_al = (xy_ref[i, 1] // y_gran) * y_gran
+        x_al = (xy_ref[i, 0] // 128) * 128
+        cp = pltpu.make_async_copy(
+            img_ref.at[xy_ref[i, 2], pl.ds(y_al, ry), pl.ds(x_al, _RX)],
+            scratch.at[b], sems.at[b],
+        )
+        cp.start()
+        cps.append(cp)
+    for b in range(_GROUP):
+        i = k * _GROUP + b
+        dy = xy_ref[i, 1] - (xy_ref[i, 1] // y_gran) * y_gran
+        dx = xy_ref[i, 0] - (xy_ref[i, 0] // 128) * 128
+        cps[b].wait()
+        R = (
+            jax.lax.broadcasted_iota(jnp.int32, (PATCH, ry), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (PATCH, ry), 0) + dy
+        ).astype(scratch.dtype)
+        C = (
+            jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (_RX, PATCH), 1) + dx
+        ).astype(scratch.dtype)
+        # one-hot x intensity products are exact in bf16 (0/1 weights,
+        # <= 255 integer-ish intensities); accumulate f32. Mosaic rejects
+        # fp32-precision flags on bf16 matmuls, so HIGHEST only for f32.
+        prec = (None if scratch.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        tmp = jnp.dot(R, scratch[b], preferred_element_type=jnp.float32,
+                      precision=prec)
+        out_ref[b] = jnp.dot(tmp.astype(scratch.dtype), C,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
 
 
 def stack_pyramid_for_patches(levels) -> jnp.ndarray:
     """Pad every pyramid level onto level-0's patch-padded canvas and stack:
     (n_levels, Hp, Wp). One canvas means ONE kernel launch fetches patches
-    from any level (the per-level launches were ~60 us each, launch-bound)."""
-    ref = pad_for_patches(levels[0])
+    from any level (the per-level launches were ~60 us each, launch-bound).
+    On TPU the canvas is bf16 — the patch kernel is DMA-bound and bf16
+    halves its traffic (0..255 level-0 intensities are exact in bf16)."""
+    dt = jnp.bfloat16 if default_use_pallas() else levels[0].dtype
+    ref = pad_for_patches(levels[0]).astype(dt)
     Hp, Wp = ref.shape
     out = [ref]
     for im in levels[1:]:
         out.append(jnp.pad(
-            im, ((HALF, Hp - im.shape[0] - HALF), (HALF, Wp - im.shape[1] - HALF))
+            im.astype(dt),
+            ((HALF, Hp - im.shape[0] - HALF), (HALF, Wp - im.shape[1] - HALF)),
         ))
     return jnp.stack(out)
 
@@ -162,27 +146,36 @@ def extract_patches_stack(stack: jnp.ndarray, xyl: jnp.ndarray,
     extent. Returns (K, 48, 48) patches centered at the keypoint."""
     K = xyl.shape[0]
     if use_pallas:
+        Kp = -(-K // _GROUP) * _GROUP
+        if Kp != K:
+            # pad with safe dummy coords (level 0, top-left interior)
+            pad = jnp.full((Kp - K, 3), 8, jnp.int32).at[:, 2].set(0)
+            xyl = jnp.concatenate([xyl, pad])
+        ry = 64 if stack.dtype == jnp.bfloat16 else _RY
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(K,),
+            grid=(Kp // _GROUP,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(
-                (1, PATCH, PATCH), lambda k, xy: (k, 0, 0),
+                (_GROUP, PATCH, PATCH), lambda k, xy: (k, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[pltpu.VMEM((_RY, _RX), jnp.float32),
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=[pltpu.VMEM((_GROUP, ry, _RX), stack.dtype),
+                            pltpu.SemaphoreType.DMA((_GROUP,))],
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _patch_kernel_stack,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((K, PATCH, PATCH), stack.dtype),
+            out_shape=jax.ShapeDtypeStruct((Kp, PATCH, PATCH), jnp.float32),
         )(xyl, stack)
+        return out[:K] if Kp != K else out
     dy = jnp.arange(PATCH)
     dx = jnp.arange(PATCH)
     rows = xyl[:, 1:2] + dy[None, :]
     cols = xyl[:, 0:1] + dx[None, :]
-    return stack[xyl[:, 2][:, None, None], rows[:, :, None], cols[:, None, :]]
+    return stack[
+        xyl[:, 2][:, None, None], rows[:, :, None], cols[:, None, :]
+    ].astype(jnp.float32)
 
 
 def default_use_pallas() -> bool:
