@@ -94,6 +94,8 @@ def _edge_chi2(res, is_stereo, inv_sigma2):
     return r2 * inv_sigma2
 
 
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -120,87 +122,125 @@ def pose_optimize(
     """
     delta_mono = jnp.sqrt(chi2_mono)
     delta_stereo = jnp.sqrt(chi2_stereo)
+    delta_th = jnp.where(edges.is_stereo, delta_stereo, delta_mono)
+    # M-minor (lane-major) layout: all per-edge quantities live as (M,)
+    # lanes and the Jacobian as six (M,) columns. The naive (M, 3, 6) edge
+    # tensors pad their minor dims onto TPU (8, 128) tiles -- measured 23
+    # of the 33 us/LM-iteration -- while this layout keeps every
+    # intermediate dense and builds H via three (6, M) @ (M, 6) MXU
+    # contractions.
+    ptsT = jnp.swapaxes(edges.pts, -1, -2)                 # (3, M)
+    obsT = jnp.swapaxes(edges.obs, -1, -2)                 # (3, M)
 
-    def compute_cost(T, active):
-        res, _, behind = _residuals_and_jac(
-            T, edges.pts, edges.obs, edges.is_stereo, fx, fy, cx, cy, bf
+    def full_pass(T, active, use_huber):
+        """ONE residual+Jacobian evaluation at T -> (cost, H, b, chi2,
+        behind). The LM loop is the latency-bound part of the per-frame
+        hot path (40 sequential small iterations), so each iteration
+        touches the edge set exactly once: cost, normal equations, Huber
+        weights and the behind-camera mask all come from this pass."""
+        R, t = T[:3, :3], T[:3, 3]
+        pc = jnp.dot(R, ptsT, precision=jax.lax.Precision.HIGHEST) + t[:, None]
+        x, y = pc[0], pc[1]
+        behind = pc[2] <= 0.05
+        z = jnp.maximum(pc[2], 1e-6)
+        iz = 1.0 / z
+        iz2 = iz * iz
+        u = fx * x * iz + cx
+        v = fy * y * iz + cy
+        du = u - obsT[0]
+        dv = v - obsT[1]
+        dur = (u - bf * iz) - obsT[2]
+        chi2 = (du * du + dv * dv
+                + jnp.where(edges.is_stereo, dur * dur, 0.0)) * edges.inv_sigma2
+        ok = active & ~behind & edges.valid
+        cost = jnp.sum(jnp.where(ok, chi2, 0.0))
+        r_norm = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        huber_w = jnp.where(
+            use_huber & (r_norm > delta_th), delta_th / r_norm, 1.0
         )
-        chi2 = _edge_chi2(res, edges.is_stereo, edges.inv_sigma2)
-        cost = jnp.sum(jnp.where(active & ~behind, chi2, 0.0))
+        w = jnp.where(ok, edges.inv_sigma2 * huber_w, 0.0)
+        sw = jnp.sqrt(w)
+        sw_r = jnp.where(edges.is_stereo, sw, 0.0)         # u_right row
+        # Jacobian of [du, dv, dur] wrt left-mult xi, columns j as (M,)
+        # lanes; rotation block is J_p @ (-hat(pc)) expanded by hand
+        # (validated against the (M, 3, 6) form in tests).
+        a = fx * iz
+        b2 = fy * iz
+        c = -fx * x * iz2
+        d = -fy * y * iz2
+        e3 = c + bf * iz2
+        zero = jnp.zeros_like(a)
+        A0 = jnp.stack([a, zero, c, c * y, a * z - c * x, -a * y]) * sw
+        A1 = jnp.stack([zero, b2, d, -b2 * z + d * y, -d * x, b2 * x]) * sw
+        A2 = jnp.stack([a, zero, e3, e3 * y, a * z - e3 * x, -a * y]) * sw_r
+        r0, r1, r2 = du * sw, dv * sw, dur * sw_r
+        hp = jax.lax.Precision.HIGHEST
+        AT = jnp.swapaxes(jnp.stack([A0, A1, A2]), -1, -2)  # (3, M, 6)
+        H = (jnp.dot(A0, AT[0], precision=hp)
+             + jnp.dot(A1, AT[1], precision=hp)
+             + jnp.dot(A2, AT[2], precision=hp))            # (6, 6)
+        b = (jnp.dot(A0, r0, precision=hp)
+             + jnp.dot(A1, r1, precision=hp)
+             + jnp.dot(A2, r2, precision=hp))               # (6,)
         if trans_prior is not None and trans_prior_weight > 0.0:
-            dt = T[:3, 3] - trans_prior
-            cost = cost + trans_prior_weight * jnp.sum(dt * dt)
-        return cost
+            # residual t(T) - prior; d t/d xi = [I | -hat(t)]
+            rp = t - trans_prior
+            Jp = jnp.concatenate([jnp.eye(3), -se3.hat(t)], axis=-1)  # (3,6)
+            H = H + trans_prior_weight * (Jp.T @ Jp)
+            b = b + trans_prior_weight * (Jp.T @ rp)
+            cost = cost + trans_prior_weight * jnp.sum(rp * rp)
+        return cost, H, b, chi2, behind
 
-    def lm_stage(T, active, use_huber):
-        delta_th = jnp.where(edges.is_stereo, delta_stereo, delta_mono)
+    def lm_stage(T, active, use_huber, boundary):
+        """One LM stage. `boundary` = (cost, H, b) already evaluated at T
+        with this stage's active mask (the stage-boundary pass doubles as
+        the first iteration's linearization, so accepted candidates are
+        linearized exactly once)."""
 
         def iter_body(_, carry):
-            T, lam, cost = carry
-            res, J, behind = _residuals_and_jac(
-                T, edges.pts, edges.obs, edges.is_stereo, fx, fy, cx, cy, bf
-            )
-            ok = active & ~behind & edges.valid
-            # whitened residual norm for Huber
-            w_info = edges.inv_sigma2
-            r_norm = jnp.sqrt(jnp.maximum(_edge_chi2(res, edges.is_stereo, w_info), 1e-12))
-            huber_w = jnp.where(
-                use_huber & (r_norm > delta_th), delta_th / r_norm, 1.0
-            )
-            w = jnp.where(ok, w_info * huber_w, 0.0)       # (M,)
-            # zero the uR row for mono edges
-            row_mask = jnp.stack(
-                [
-                    jnp.ones_like(r_norm),
-                    jnp.ones_like(r_norm),
-                    edges.is_stereo.astype(res.dtype),
-                ],
-                axis=-1,
-            )
-            Jw = J * (w[:, None, None] * row_mask[:, :, None])
-            H = jnp.einsum("mij,mik->jk", Jw, J)           # (6, 6)
-            b = jnp.einsum("mij,mi->j", Jw, res)           # (6,)
-            if trans_prior is not None and trans_prior_weight > 0.0:
-                # residual t(T) - prior; d t/d xi = [I | -hat(t)]
-                t = T[:3, 3]
-                rp = t - trans_prior
-                Jp = jnp.concatenate([jnp.eye(3), -se3.hat(t)], axis=-1)  # (3,6)
-                H = H + trans_prior_weight * (Jp.T @ Jp)
-                b = b + trans_prior_weight * (Jp.T @ rp)
+            T_best, cost_best, H, b, lam = carry
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
+            # NOTE: jnp.linalg.solve (LU custom call, ~6 us) beats an
+            # unrolled 6x6 Cholesky here — the scalar graph blew TPU
+            # compile time to minutes AND ran slower (measured r4).
             dx = -jnp.linalg.solve(Hd, b)
-            T_new = se3.se3_retract(T, dx)
-            new_cost = compute_cost(T_new, ok)
-            accept = new_cost < cost
-            T = jnp.where(accept, T_new, T)
+            T_cand = se3.se3_retract(T_best, dx)
+            cost_cand, H_cand, b_cand, _, _ = full_pass(
+                T_cand, active, use_huber
+            )
+            accept = cost_cand < cost_best
+            T_best = jnp.where(accept, T_cand, T_best)
+            cost_best = jnp.where(accept, cost_cand, cost_best)
+            H = jnp.where(accept, H_cand, H)
+            b = jnp.where(accept, b_cand, b)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            cost = jnp.where(accept, new_cost, cost)
-            return (T, lam, cost)
+            return (T_best, cost_best, H, b, lam)
 
-        cost0 = compute_cost(T, active & edges.valid)
-        T, _, _ = jax.lax.fori_loop(
-            0, iters_per_stage, iter_body, (T, jnp.float32(1e-4), cost0)
+        cost0, H0, b0 = boundary
+        T, _, _, _, _ = jax.lax.fori_loop(
+            0, iters_per_stage, iter_body,
+            (T, cost0, H0, b0, jnp.float32(1e-4)),
         )
         return T
 
     # staged solve with chi2 re-gating (reference does 4 stages, Huber on the
     # first two, marking outliers between stages and re-admitting them if
-    # their error drops back under the gate)
+    # their error drops back under the gate). Each stage boundary is ONE
+    # shared pass: it re-gates the active set, seeds the accept test AND
+    # linearizes for the next stage's first iteration.
     active = edges.valid
     T = T_init
+    chi2 = behind = None
     for s in range(stages):
-        T = lm_stage(T, active, use_huber=(s < 2))
-        res, _, behind = _residuals_and_jac(
-            T, edges.pts, edges.obs, edges.is_stereo, fx, fy, cx, cy, bf
-        )
-        chi2 = _edge_chi2(res, edges.is_stereo, edges.inv_sigma2)
-        gate = jnp.where(edges.is_stereo, chi2_stereo, chi2_mono)
-        active = edges.valid & (chi2 <= gate) & ~behind
-
-    res, _, behind = _residuals_and_jac(
-        T, edges.pts, edges.obs, edges.is_stereo, fx, fy, cx, cy, bf
-    )
-    chi2 = _edge_chi2(res, edges.is_stereo, edges.inv_sigma2)
+        use_huber = s < 2
+        if s > 0:
+            gate = jnp.where(edges.is_stereo, chi2_stereo, chi2_mono)
+            active = edges.valid & (chi2 <= gate) & ~behind
+        cost0, H0, b0, _, _ = full_pass(T, active, use_huber)
+        T = lm_stage(T, active, use_huber, (cost0, H0, b0))
+        _, _, _, chi2, behind = full_pass(T, active, use_huber)
+    gate = jnp.where(edges.is_stereo, chi2_stereo, chi2_mono)
+    active = edges.valid & (chi2 <= gate) & ~behind
     return PoseOptResult(
         T=T,
         inliers=active,
