@@ -29,6 +29,59 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s=90.0, devices_fn=None):
+    """Fast device probe BEFORE any staging: jax.devices() hangs (not
+    errors) when the axon tunnel is down, so run it on a daemon thread
+    with a deadline. Returns the device list; raises TimeoutError /
+    the backend's own error on failure. (VERDICT r3 item 5: an outage
+    round must ship a structured, diagnosable record, not a traceback.)
+    """
+    import concurrent.futures
+
+    if devices_fn is None:
+        def devices_fn():
+            import jax
+
+            return jax.devices()
+
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        return ex.submit(devices_fn).result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        raise TimeoutError(
+            f"backend probe exceeded {timeout_s:.0f}s (tunnel down?)"
+        ) from None
+    finally:
+        ex.shutdown(wait=False)
+
+
+def _outage_record(exc) -> dict:
+    """The one structured JSON line an outage round ships instead of a
+    traceback: machine-parseable error + provenance (no device field —
+    the device is exactly what we could not reach)."""
+    import datetime
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    return {
+        "metric": "e2e_mode4_fps",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "error": "tpu_unreachable",
+        "detail": f"{type(exc).__name__}: {exc}",
+        "git_sha": sha,
+        "timestamp": datetime.datetime.now(datetime.UTC).isoformat(
+            timespec="seconds"),
+    }
+
+
 def _stage_frames(renderer, cam, n):
     import jax
 
@@ -111,6 +164,12 @@ def _build_object_tables(scene, renderer, frontend, cam, O=2, Mo=256):
 
 
 def main():
+    try:
+        _probe_backend()
+    except BaseException as exc:  # noqa: BLE001 - any init failure counts
+        print(json.dumps(_outage_record(exc)))
+        sys.exit(2)
+
     from pointslot_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -197,6 +256,27 @@ def main():
     fps_fe_batched = nb * B / (time.perf_counter() - t0)
 
     ba_ms_iter = _bench_ba_ms_per_iter()
+    hamming_ms = _bench_hamming_ms()
+
+    # per-stage ms breakdown: fused-prefix deltas inside the frontend,
+    # plus the coarse e2e stages derived from the fps measurements
+    from pointslot_tpu.utils import roofline, stagebench
+
+    stage_ms = stagebench.frontend_stage_ms(fe, *pairs[0], n=n_iters)
+    stage_ms["camera_match_lm"] = max(1e3 / fps_mode0 - 1e3 / fps_fe, 0.0)
+    stage_ms["object_phase"] = max(1e3 / fps_mode4 - 1e3 / fps_mode0, 0.0)
+    stage_ms["hamming_match"] = hamming_ms
+    stage_ms["ba_lm_iter"] = ba_ms_iter
+
+    fe_models = roofline.frontend_models(fe)
+    roofs = roofline.report({
+        **{
+            name: (fe_models[name], stage_ms[name])
+            for name in fe_models
+        },
+        "hamming_match": (roofline.hamming_model(2048, 2048), hamming_ms),
+        "ba_lm_iter": (roofline.ba_iteration_model(32, 4096, 8), ba_ms_iter),
+    })
 
     print(json.dumps({
         "metric": "e2e_mode4_fps",
@@ -209,6 +289,8 @@ def main():
         "frontend_fps": round(fps_fe, 3),
         "frontend_batched_fps": round(fps_fe_batched, 3),
         "ba_ms_per_lm_iter": round(ba_ms_iter, 3),
+        "stage_ms": {k: round(v, 4) for k, v in stage_ms.items()},
+        "roofline": roofs,
         **_provenance(),
     }), file=sys.stderr)
 
@@ -233,6 +315,32 @@ def _provenance():
         "timestamp": datetime.datetime.now(datetime.UTC).isoformat(
             timespec="seconds"),
     }
+
+
+def _bench_hamming_ms(M=2048, N=2048, n=30):
+    """Full (M, N) Hamming distance table via the sign-matmul MXU path —
+    the matcher kernel under every projection/BoW search
+    (ops/hamming.py; reference ORBmatcher::DescriptorDistance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointslot_tpu.ops import hamming
+
+    rng = np.random.default_rng(1)
+    da = jnp.asarray(rng.integers(0, 2**32, (M, 8), dtype=np.uint32))
+    db = jnp.asarray(rng.integers(0, 2**32, (N, 8), dtype=np.uint32))
+
+    @jax.jit
+    def table(a, b):
+        return hamming.hamming_pairwise(a, b).sum()
+
+    out = table(da, db)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = table(da, db)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 def _bench_ba_ms_per_iter(P=32, L=4096, K=8):
