@@ -49,9 +49,13 @@ def _config():
 
 
 @pytest.mark.slow
-def test_long_sequence_eviction_checkpoint_objects(tmp_path):
+@pytest.mark.parametrize("seed,radius", [(13, 10.0), (29, 12.0)])
+def test_long_sequence_eviction_checkpoint_objects(tmp_path, seed, radius):
+    # two seeds/geometries: one chaotic fixture sitting silently at its
+    # ATE bound burned a round once (VERDICT r3 item 7) — the margin is
+    # printed below and recorded in ROUND_NOTES each round
     cfg = _config()
-    scene = make_loop_scene(n_frames=190, seed=13, radius=10.0,
+    scene = make_loop_scene(n_frames=190, seed=seed, radius=radius,
                             camera=cfg.camera, n_objects=2)
     assert scene.n_frames >= 250
     renderer = SyntheticRenderer(scene)
@@ -104,6 +108,8 @@ def test_long_sequence_eviction_checkpoint_objects(tmp_path):
     ]
     assert len(errs) > scene.n_frames * 0.8, "too many lost frames"
     ate = float(np.sqrt(np.mean(np.square(errs))))
+    print(f"\nlong-sequence seed={seed} radius={radius}: "
+          f"ATE {ate:.3f} m (bound 0.6, margin {0.6 - ate:.3f})")
     assert ate < 0.6, f"long-sequence ATE {ate:.3f} m"
 
     # object tracks survive the whole circuit (through the checkpoint)
