@@ -188,6 +188,14 @@ class ObjectConfig:
     # (small windows stay cheap, long ones keep the reference's full
     # 120-id span instead of being silently truncated)
     ba_window_pose_cap: int = 128
+    # Redundant object-keyframe culling: drop a covisible object KF when
+    # more than `kf_cull_redundancy` of its well-depthed points are seen
+    # by >= 3 other object KFs at the same-or-finer scale (reference
+    # ObjectLocalMapping::KeyFrameCulling, src/ObjectLocalMapping.cpp:
+    # 269-323). Keeps long-lived tracks' keyframe lists, fuse windows and
+    # covisibility scans bounded.
+    kf_culling: bool = True
+    kf_cull_redundancy: float = 0.9
     # SE(3) constant-velocity priors between consecutive object KFs in the
     # BA window (live form of EdgeMotionModel/EdgeSmoothTerm, reference
     # include/g2o_Object.h:361-405); 0 = off, matching the reference's

@@ -435,10 +435,16 @@ class ObjectSystem:
                 self._cull_object_points(track, okf_idx)
                 self._fuse_object_neighbors(track, okf_idx)
                 n_cov = len(track.covisible_keyframes(okf_idx, min_weight=5))
+                ba_inputs = None
                 if n_cov > self.cfg.objects.ba_min_covisible_kfs:
                     ba_inputs = self._build_object_ba(track, okf_idx)
-                    if ba_inputs is not None:
-                        built.append((track, epoch, ba_inputs))
+                if ba_inputs is not None:
+                    built.append((track, epoch, ba_inputs))
+                else:
+                    # no solve pending for this track -> safe to cull now
+                    # (culling between a BA build and its write-back would
+                    # shift the okf indices the solve was built against)
+                    self._cull_object_keyframes(track)
         if not built:
             return
         # group by problem shape (windows bucket their pose capacity to
@@ -464,6 +470,10 @@ class ObjectSystem:
             results = local_ba.bundle_adjust_batched(
                 probs, **self._cam_args, priors=priors
             )
+            # host materialization outside the lock (see
+            # _object_local_mapping): the per-object np.asarray slicing in
+            # the locked write-back must not wait on the device solve
+            results = [np.asarray(x) for x in results]
             self.ba_calls += len(grp)
             self.ba_threads.add(threading.get_ident())
             with self._obj_lock:
@@ -473,6 +483,7 @@ class ObjectSystem:
                     res = local_ba.BAResult(
                         *(np.asarray(x[bi]) for x in results))
                     self._apply_object_ba(track, res, slot_edge, meta)
+                    self._cull_object_keyframes(track)
 
     def _unproject_local(self, okf, sel):
         cam = self.cfg.camera
@@ -804,10 +815,16 @@ class ObjectSystem:
             ba_inputs = None
             if n_cov > self.cfg.objects.ba_min_covisible_kfs:
                 ba_inputs = self._build_object_ba(track, okf_idx)
+            if ba_inputs is None:
+                self._cull_object_keyframes(track)
         if ba_inputs is None:
             return
         prob, slot_edge, meta, priors = ba_inputs
         result = local_ba.bundle_adjust(prob, **self._cam_args, priors=priors)
+        # materialize on the host BEFORE re-taking the lock — JAX dispatch
+        # is async, so np.asarray inside the locked write-back would pull
+        # the whole device solve into the critical section
+        result = type(result)(*(np.asarray(x) for x in result))
         self.ba_calls += 1
         import threading
 
@@ -815,6 +832,7 @@ class ObjectSystem:
         with self._obj_lock:
             if getattr(track, "epoch", 0) == epoch:
                 self._apply_object_ba(track, result, slot_edge, meta)
+            self._cull_object_keyframes(track)
 
     def _fuse_object_neighbors(self, track: ObjectTrack, okf_idx: int):
         """Bind the new object-KF's unmatched features to existing object
@@ -867,6 +885,55 @@ class ObjectSystem:
         cull |= (age >= 2) & (obs_n < 2)
         if cull.any():
             track.cull_points(valid[cull])
+
+    def _cull_object_keyframes(self, track: ObjectTrack) -> None:
+        """90%-redundancy object-keyframe culling (reference
+        ObjectLocalMapping::KeyFrameCulling, src/ObjectLocalMapping.cpp:
+        269-323): a covisible object KF dies when >90% of its close-depth
+        points are observed by >=3 OTHER object KFs at scale <= level+1.
+        KF 0 (the object's first observation) is never culled. Runs on the
+        mapping worker with the object lock held; must not run between a
+        BA build and its write-back (indices would shift)."""
+        cfg = self.cfg.objects
+        if not cfg.kf_culling or len(track.keyframes) < 3:
+            return
+        okf_idx = len(track.keyframes) - 1
+        cand = [int(i)
+                for i in track.covisible_keyframes(okf_idx, min_weight=5)
+                if int(i) not in (0, okf_idx)]
+        if not cand:
+            return
+        n = len(track.keyframes)
+        P = track.max_points
+        # per-KF point -> observation octave (127 = not observed)
+        lvl = np.full((n, P), 127, np.int16)
+        for j, okf in enumerate(track.keyframes):
+            b = okf.point_idx >= 0
+            lvl[j, okf.point_idx[b]] = okf.level[b]
+        observed = lvl < 127                               # (n, P)
+        th_depth = self.cfg.camera.depth_threshold
+        remove = []
+        for c in cand:
+            okf = track.keyframes[c]
+            b = np.nonzero(okf.point_idx >= 0)[0]
+            rows = okf.point_idx[b]
+            good = (track.pt_valid[rows]
+                    & (okf.depth[b] > 0) & (okf.depth[b] <= th_depth))
+            rows, b = rows[good], b[good]
+            if len(rows) == 0:
+                continue
+            total_obs = observed[:, rows].sum(axis=0)
+            scale_ok = (observed[:, rows]
+                        & (lvl[:, rows] <= okf.level[b][None, :] + 1))
+            others = scale_ok.sum(axis=0) - scale_ok[c]
+            redundant = (total_obs > 3) & (others >= 3)
+            if redundant.sum() > cfg.kf_cull_redundancy * len(rows):
+                remove.append(c)
+        if remove:
+            track.remove_keyframes(remove)
+            from pointslot_tpu.utils.profiling import PROFILER
+
+            PROFILER.count("object_kf_culled", len(remove))
 
     def _build_object_ba(self, track: ObjectTrack, okf_idx: int):
         """Assemble the windowed object BA problem: covisible object KFs

@@ -156,6 +156,57 @@ class ObjectTrack:
     def n_points(self) -> int:
         return int(self.pt_valid.sum())
 
+    def remove_keyframes(self, idxs) -> None:
+        """Drop culled object keyframes and compact every structure keyed
+        by okf index (the SoA form of ObjectKeyFrame::SetBadFlag +
+        erase-from-map, reference src/ObjectKeyFrame.cpp): `obs` columns,
+        `pt_first_okf`, the obj_kf_id == list-index invariant, and
+        `rel_pose_log` anchors (entries anchored on a removed KF are
+        rebased onto the nearest surviving KF by frame id). Points whose
+        every observation was in removed KFs are culled."""
+        n = len(self.keyframes)
+        removed = {int(i) for i in np.atleast_1d(idxs)
+                   if 0 < int(i) < n}
+        if not removed:
+            return
+        keep = [i for i in range(n) if i not in removed]
+        old2new = np.full(n, -1, np.int64)
+        old2new[keep] = np.arange(len(keep))
+        old_T = [kf.T_co.copy() for kf in self.keyframes]
+        surv_fids = np.array([self.keyframes[i].frame_id for i in keep])
+
+        for f, (okf_id, T_rel) in list(self.rel_pose_log.items()):
+            if okf_id >= n:
+                continue
+            if okf_id in removed:
+                a = int(np.argmin(np.abs(
+                    surv_fids - self.keyframes[okf_id].frame_id)))
+                T_new = T_rel @ old_T[okf_id] @ np.linalg.inv(old_T[keep[a]])
+                self.rel_pose_log[f] = (a, T_new)
+            else:
+                self.rel_pose_log[f] = (int(old2new[okf_id]), T_rel)
+
+        self.keyframes = [self.keyframes[i] for i in keep]
+        for nw, okf in enumerate(self.keyframes):
+            okf.obj_kf_id = nw
+        new_obs = np.zeros_like(self.obs)
+        new_obs[:, : len(keep)] = self.obs[:, keep]
+        self.obs = new_obs
+
+        # first-observer fell away -> earliest surviving observation
+        first = self.pt_first_okf
+        has = first >= 0
+        mapped = np.where(has, old2new[np.clip(first, 0, n - 1)], -1)
+        any_obs = self.obs[:, : len(keep)].any(axis=1)
+        earliest = np.argmax(self.obs[:, : len(keep)], axis=1)
+        orphan = has & (mapped < 0)
+        self.pt_first_okf = np.where(
+            orphan & any_obs, earliest, mapped
+        ).astype(np.int32)
+        dead = self.pt_valid & ~any_obs
+        if dead.any():
+            self.cull_points(np.nonzero(dead)[0])
+
     # ------------------------------------------------------------------
     def covisibility_weights(self, okf_idx: int) -> np.ndarray:
         """Shared-point counts between object-KF okf_idx and all others."""
