@@ -15,7 +15,7 @@ import numpy as np
 _MAP_FIELDS = [
     "kf_pose", "kf_valid", "kf_uid", "kf_frame_id", "kf_xy", "kf_level",
     "kf_desc", "kf_angle", "kf_depth", "kf_uright", "kf_feat_valid",
-    "kf_point_idx", "pt_pos", "pt_desc", "pt_valid", "pt_normal",
+    "kf_point_idx", "kf_parent", "pt_pos", "pt_desc", "pt_valid", "pt_normal",
     "pt_min_dist", "pt_max_dist", "pt_first_kf", "pt_visible", "pt_found",
     "pt_dynamic", "obs",
 ]
@@ -94,7 +94,8 @@ def load_checkpoint(path: str, system) -> None:
     z = np.load(path, allow_pickle=False)
     m = system.map
     for f in _MAP_FIELDS:
-        getattr(m, f)[...] = z[f"map/{f}"]
+        if f"map/{f}" in z:          # tolerate checkpoints from older schemas
+            getattr(m, f)[...] = z[f"map/{f}"]
     m._next_uid = int(z["map/next_uid"])
 
     if "tracker/state" in z:

@@ -636,16 +636,34 @@ class LoopCloser:
             if not fixed_flags[i]:
                 m.kf_pose[int(k)] = new_poses[i].astype(np.float32)
 
-        # keyframes created during the solve: apply the delta of the
-        # nearest solved keyframe (T_k' = (T_k T_ref^-1) T_ref_gba)
+        # keyframes created during the solve: propagate the correction
+        # through the spanning tree (T_k' = (T_k T_parent^-1) T_parent_gba,
+        # reference src/LoopClosing.cc:686-745). A mid-solve KF's parent
+        # chain ends at a solved KF on the correct SIDE of a loop seam —
+        # after a relocalization the parent is the reloc KF, where
+        # frame-id adjacency would pick the wrong side's delta. Fallback
+        # when the chain never reaches the solved set: nearest frame id.
         solved_set = {int(k) for i, k in enumerate(kf_ids) if live[i]}
         solved_fids = {int(k): int(m.kf_frame_id[int(k)]) for k in solved_set}
+
+        def _solved_ancestor(k: int):
+            seen = set()
+            p = int(m.kf_parent[k])
+            while p >= 0 and p not in seen:
+                if p in solved_set:
+                    return p
+                seen.add(p)
+                p = int(m.kf_parent[p])
+            return None
+
         for k in m.keyframe_ids():
             k = int(k)
             if k in solved_set or not solved_set:
                 continue
-            fid = int(m.kf_frame_id[k])
-            ref = min(solved_set, key=lambda s: abs(solved_fids[s] - fid))
+            ref = _solved_ancestor(k)
+            if ref is None:
+                fid = int(m.kf_frame_id[k])
+                ref = min(solved_set, key=lambda s: abs(solved_fids[s] - fid))
             i = kf_row[ref]
             if fixed_flags[i]:
                 continue

@@ -37,6 +37,11 @@ class MapState:
     kf_uright: np.ndarray = None        # (K, N) float32
     kf_feat_valid: np.ndarray = None    # (K, N) bool
     kf_point_idx: np.ndarray = None     # (K, N) int32 bound map point or -1
+    # spanning-tree parent: the tracking reference KF at creation (the
+    # reference's KeyFrame::mpParent analog; correction propagation to
+    # keyframes created during a background GBA walks this chain,
+    # src/LoopClosing.cc:686-745)
+    kf_parent: np.ndarray = None        # (K,) int32, -1 = root/none
 
     # --- map points ----------------------------------------------------
     pt_pos: np.ndarray = None           # (M, 3) float64 world
@@ -68,6 +73,7 @@ class MapState:
         self.kf_uright = np.full((K, N), -1.0, np.float32)
         self.kf_feat_valid = np.zeros((K, N), bool)
         self.kf_point_idx = np.full((K, N), -1, np.int32)
+        self.kf_parent = np.full(K, -1, np.int32)
         self.pt_pos = np.zeros((M, 3), np.float64)
         self.pt_desc = np.zeros((M, 8), np.uint32)
         self.pt_valid = np.zeros(M, bool)
@@ -114,6 +120,7 @@ class MapState:
         k = int(free[0])
         self.kf_valid[k] = True
         self.kf_uid[k] = self._next_uid
+        self.kf_parent[k] = -1
         self._next_uid += 1
         return k
 
@@ -184,6 +191,10 @@ class MapState:
         self.kf_point_idx[kf, :] = -1
         self.kf_feat_valid[kf, :] = False
         self.kf_valid[kf] = False
+        # re-hang children on the removed KF's own parent (the reference's
+        # ChangeParent walk in KeyFrame::SetBadFlag)
+        self.kf_parent[self.kf_parent == kf] = self.kf_parent[kf]
+        self.kf_parent[kf] = -1
         # cull points that lost all observations
         orphan = bound[~self.obs[bound].any(axis=1)]
         if len(orphan):

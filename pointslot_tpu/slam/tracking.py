@@ -425,6 +425,10 @@ class CameraTracker:
         N = min(len(frame.xy), m.feats_per_kf)
         m.kf_pose[kf] = frame.T_cw
         m.kf_frame_id[kf] = frame.frame_id
+        # spanning-tree parent = the tracking reference at creation; after
+        # relocalization this is the reloc KF, so GBA correction
+        # propagation follows graph adjacency, not frame-id adjacency
+        m.kf_parent[kf] = self.ref_kf if self.ref_kf != kf else -1
         m.kf_xy[kf, :N] = frame.xy[:N]
         m.kf_level[kf, :N] = frame.level[:N]
         m.kf_desc[kf, :N] = frame.desc[:N]
