@@ -190,10 +190,10 @@ class TreeVocabulary:
 
         T = len(self.node_desc)
         parents = np.zeros(T, np.int32)
-        for node in range(T):
-            for c in self.children[node]:
-                if c >= 0:
-                    parents[c] = node
+        idx = np.repeat(np.arange(T, dtype=np.int32), self.children.shape[1])
+        ch = self.children.ravel()
+        m = ch >= 0
+        parents[ch[m]] = idx[m]
         save_orb_vocab_binary(
             path, parents[1:], self.node_desc[1:].view(np.uint8),
             self.node_weights[1:], self.is_leaf[1:],
@@ -222,11 +222,44 @@ class TreeVocabulary:
         counts = np.bincount(parents, minlength=T)
         kk = max(int(counts.max(initial=1)), 1)
         children = np.full((T, kk), -1, np.int32)
-        slot = np.zeros(T, np.int64)
-        for i, pi in enumerate(parents, start=1):
-            children[pi, slot[pi]] = i
-            slot[pi] += 1
+        # vectorized child-slot assignment (a Python loop here is minutes
+        # at the 1M-node ORBvoc scale): stable-sort records by parent,
+        # then each record's slot is its rank within its parent group
+        order = np.argsort(parents, kind="stable")
+        sp = parents[order]
+        rank = np.arange(len(sp)) - np.searchsorted(sp, sp, side="left")
+        children[sp, rank] = (order + 1).astype(np.int32)
         return cls(node_desc, children, w, leaf, kk, depth)
+
+    @classmethod
+    def synthesize(cls, k: int = 10, depth: int = 6,
+                   seed: int = 0) -> "TreeVocabulary":
+        """Random perfect k^depth tree at the ORBvoc operating point
+        (k=10, L=6, ~1M leaves — the scale the reference loads at startup,
+        src/System.cc:79 / TemplatedVocabulary.h:1343). The real
+        ORBvoc.bin is not fetchable in this environment; a synthesized
+        tree validates memory, descent latency, compile behavior and the
+        sparse database at the reference's scale. Breadth-first layout:
+        level l occupies nodes [(k^l-1)/(k-1), (k^{l+1}-1)/(k-1))."""
+        rng = np.random.default_rng(seed)
+        level_sizes = [k**l for l in range(depth + 1)]
+        T = sum(level_sizes)
+        node_desc = rng.integers(0, 2**32, (T, 8), dtype=np.uint32)
+        node_desc[0] = 0
+        children = np.full((T, k), -1, np.int32)
+        off = 0
+        for l in range(depth):
+            n_l = level_sizes[l]
+            base = off + n_l + np.arange(n_l, dtype=np.int64) * k
+            children[off : off + n_l] = (
+                base[:, None] + np.arange(k)
+            ).astype(np.int32)
+            off += n_l
+        is_leaf = np.zeros(T, bool)
+        is_leaf[T - level_sizes[depth] :] = True
+        weights = np.zeros(T, np.float32)
+        weights[is_leaf] = rng.uniform(0.2, 1.0, level_sizes[depth])
+        return cls(node_desc, children, weights, is_leaf, k, depth)
 
 
 class SparseKeyFrameDatabase:
