@@ -57,9 +57,16 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int):
+        """Every device-compute stage (triangulation matching, fuse
+        projection, the BA solve) runs with the map lock RELEASED: the
+        lock covers only cheap array snapshots and staleness-guarded
+        merges. Tracking holds the same lock for its whole frame, so an
+        in-lock device call here would stall it for the call's duration —
+        multi-seconds when a background GBA solve contends for the chip
+        (the reference's finer-grained Map mutexes have the same effect,
+        src/LocalMapping.cc:169-263)."""
         self._kf_counter += 1
         m = self.map
-        snap = None
         with self.lock:
             new_pts = np.nonzero(m.pt_first_kf == kf)[0]
             for p in new_pts:
@@ -67,13 +74,30 @@ class LocalMapper:
                     RecentPoint(pt=int(p), created_kf=self._kf_counter))
 
             self._cull_points()
-            self._triangulate_far_points(kf)
-            self._fuse_neighbors(kf)
-            if m.n_keyframes() > 2:
-                snap = self._local_ba_snapshot(kf)
+            tri_snap = self._tri_snapshot(kf)
+        if tri_snap is not None:
+            batches = self._tri_compute(tri_snap)      # device, no lock
+            if batches:
+                with self.lock:
+                    self._tri_merge(tri_snap, batches)
+
+        with self.lock:
+            fuse_snap = self._fuse_snapshot(kf)
+        if fuse_snap is not None:
+            pf = self._fuse_compute(fuse_snap)         # device, no lock
+            with self.lock:
+                self._fuse_merge(fuse_snap, pf)
+
+        with self.lock:
+            snap = self._local_ba_snapshot(kf) if m.n_keyframes() > 2 else None
         if snap is not None:
-            # the expensive LM solve holds NO lock — tracking proceeds
+            # the expensive LM solve holds NO lock — tracking proceeds.
+            # JAX dispatch is async: materialize the result to HOST arrays
+            # BEFORE taking the lock, or the first np.asarray inside the
+            # merge would silently pull the whole device solve into the
+            # locked section (measured ~2 s/KF of tracking stall).
             result = local_ba.bundle_adjust(snap["prob"], **self._cam_args)
+            result = type(result)(*(np.asarray(x) for x in result))
             self.ba_calls += 1
             with self.lock:
                 self._local_ba_merge(snap, result)
@@ -81,44 +105,69 @@ class LocalMapper:
             self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
-    def _triangulate_far_points(self, kf: int):
-        """Multi-view triangulation of features without stereo depth — the
-        far tail beyond th_depth (LocalMapping::CreateNewMapPoints,
-        reference src/LocalMapping.cc:414; close points come directly from
-        stereo unprojection at keyframe creation)."""
+    # Multi-view triangulation of features without stereo depth — the far
+    # tail beyond th_depth (LocalMapping::CreateNewMapPoints, reference
+    # src/LocalMapping.cc:414; close points come directly from stereo
+    # unprojection at keyframe creation). Split snapshot/compute/merge so
+    # the device matching + triangulation never run under the map lock.
+
+    def _tri_snapshot(self, kf: int):
+        """Copy everything the lock-free compute needs (cheap row copies;
+        runs under the map lock)."""
+        m = self.map
+        neighbors = [int(n) for n in
+                     m.covisible_keyframes(kf, min_weight=15, max_n=5)]
+        if not neighbors:
+            return None
+        # candidate features: valid, unbound, no stereo depth (far)
+        far = {
+            k: (m.kf_feat_valid[k] & (m.kf_point_idx[k] < 0)
+                & (m.kf_depth[k] <= 0)).copy()
+            for k in [kf] + neighbors
+        }
+        if far[kf].sum() < 10:
+            return None
+        ids = [kf] + neighbors
+        return dict(
+            kf=int(kf), neighbors=neighbors, far=far,
+            uid={k: int(m.kf_uid[k]) for k in ids},
+            pose={k: m.kf_pose[k].astype(np.float64).copy() for k in ids},
+            desc={k: m.kf_desc[k].copy() for k in ids},
+            angle={k: m.kf_angle[k].copy() for k in ids},
+            xy={k: m.kf_xy[k].copy() for k in ids},
+            level=m.kf_level[kf].copy(),
+        )
+
+    def _tri_compute(self, snap):
+        """Per-neighbor match + triangulate + geometric validation against
+        the snapshot (device compute — holds NO lock). Returns candidate
+        batches for the guarded merge."""
         import jax.numpy as jnp
 
         from pointslot_tpu.geometry import triangulation as tri
         from pointslot_tpu.slam import matchers
 
-        m = self.map
         cam = self.cfg.camera
         K = np.asarray(
             [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float64
         )
-        neighbors = m.covisible_keyframes(kf, min_weight=15, max_n=5)
-        if len(neighbors) == 0:
-            return
-        # candidate features: valid, unbound, no stereo depth (far)
-        far_k = m.kf_feat_valid[kf] & (m.kf_point_idx[kf] < 0) & (m.kf_depth[kf] <= 0)
-        if far_k.sum() < 10:
-            return
+        kf = snap["kf"]
+        far_k = snap["far"][kf]
+        batches = []
         created = 0
-        for n in neighbors:
-            far_n = (
-                m.kf_feat_valid[n] & (m.kf_point_idx[n] < 0) & (m.kf_depth[n] <= 0)
-            )
+        for n in snap["neighbors"]:
+            far_n = snap["far"][n]
             if far_n.sum() < 10:
                 continue
             baseline = np.linalg.norm(
-                (np.linalg.inv(m.kf_pose[kf]) @ m.kf_pose[n])[:3, 3]
+                (np.linalg.inv(snap["pose"][kf]) @ snap["pose"][n])[:3, 3]
             )
             if baseline < 0.3:
                 continue
             res = matchers.brute_match(
-                jnp.asarray(m.kf_desc[kf]), jnp.asarray(m.kf_angle[kf]),
+                jnp.asarray(snap["desc"][kf]), jnp.asarray(snap["angle"][kf]),
                 jnp.asarray(far_k),
-                jnp.asarray(m.kf_desc[n]), jnp.asarray(m.kf_angle[n]),
+                jnp.asarray(snap["desc"][n]), jnp.asarray(snap["angle"][n]),
                 jnp.asarray(far_n),
                 nn_ratio=0.6, th_desc=matchers.TH_LOW, check_rotation=True,
             )
@@ -129,12 +178,12 @@ class LocalMapper:
             n_pad = 64  # shape bucketing for the jitted triangulation
             while n_pad < len(sel):
                 n_pad *= 2
-            P1 = jnp.asarray(K @ m.kf_pose[kf][:3, :4].astype(np.float64))
-            P2 = jnp.asarray(K @ m.kf_pose[n][:3, :4].astype(np.float64))
+            P1 = jnp.asarray(K @ snap["pose"][kf][:3, :4])
+            P2 = jnp.asarray(K @ snap["pose"][n][:3, :4])
             uv1p = np.zeros((n_pad, 2), np.float32)
             uv2p = np.zeros((n_pad, 2), np.float32)
-            uv1p[: len(sel)] = m.kf_xy[kf, sel]
-            uv2p[: len(sel)] = m.kf_xy[n, idx[sel]]
+            uv1p[: len(sel)] = snap["xy"][kf][sel]
+            uv2p[: len(sel)] = snap["xy"][n][idx[sel]]
             X, well_posed = tri.triangulate(
                 jnp.broadcast_to(P1, (n_pad, 3, 4)),
                 jnp.broadcast_to(P2, (n_pad, 3, 4)),
@@ -143,9 +192,9 @@ class LocalMapper:
             X = np.asarray(X, np.float64)[: len(sel)]
             ok = np.array(well_posed)[: len(sel)]  # writable host copy
             # validate: positive depth + reprojection error in both views
-            for T, uv in ((m.kf_pose[kf], uv1p[: len(sel)]),
-                          (m.kf_pose[n], uv2p[: len(sel)])):
-                pc = X @ T[:3, :3].T.astype(np.float64) + T[:3, 3]
+            for T, uv in ((snap["pose"][kf], uv1p[: len(sel)]),
+                          (snap["pose"][n], uv2p[: len(sel)])):
+                pc = X @ T[:3, :3].T + T[:3, 3]
                 z = pc[:, 2]
                 u = cam.fx * pc[:, 0] / np.maximum(z, 1e-9) + cam.cx
                 v = cam.fy * pc[:, 1] / np.maximum(z, 1e-9) + cam.cy
@@ -154,37 +203,62 @@ class LocalMapper:
             good = np.nonzero(ok)[0]
             if len(good) == 0:
                 continue
-            n_free = int((~m.pt_valid).sum())
-            good = good[: max(n_free - 64, 0)]
-            if len(good) == 0:
+            # mark as consumed so later neighbors don't re-create them
+            far_k[sel[good]] = False
+            batches.append(dict(n=n, feat_kf=sel[good], feat_n=idx[sel[good]],
+                                X=X[good]))
+            created += len(good)
+            if created > 256:
+                break
+        return batches
+
+    def _tri_merge(self, snap, batches):
+        """Apply triangulated candidates to the LIVE map (under the map
+        lock): a batch is dropped if either keyframe slot was recycled;
+        individual features are dropped if they were bound meanwhile."""
+        m = self.map
+        kf = snap["kf"]
+        if int(m.kf_uid[kf]) != snap["uid"][kf]:
+            return
+        T_wc = np.linalg.inv(snap["pose"][kf])
+        for b in batches:
+            n = b["n"]
+            if int(m.kf_uid[n]) != snap["uid"][n]:
                 continue
-            pts_new = m.alloc_points(len(good))
-            good = good[: len(pts_new)]
-            m.pt_pos[pts_new] = X[good]
-            m.pt_desc[pts_new] = m.kf_desc[kf, sel[good]]
+            fk, fn, X = b["feat_kf"], b["feat_n"], b["X"]
+            fresh = (
+                m.kf_feat_valid[kf, fk] & (m.kf_point_idx[kf, fk] < 0)
+                & m.kf_feat_valid[n, fn] & (m.kf_point_idx[n, fn] < 0)
+            )
+            fk, fn, X = fk[fresh], fn[fresh], X[fresh]
+            if len(fk) == 0:
+                continue
+            n_free = int((~m.pt_valid).sum())
+            keep = max(n_free - 64, 0)
+            fk, fn, X = fk[:keep], fn[:keep], X[:keep]
+            if len(fk) == 0:
+                continue
+            pts_new = m.alloc_points(len(fk))
+            fk, fn, X = fk[: len(pts_new)], fn[: len(pts_new)], X[: len(pts_new)]
+            m.pt_pos[pts_new] = X
+            m.pt_desc[pts_new] = m.kf_desc[kf, fk]
             m.pt_first_kf[pts_new] = kf
             m.pt_found[pts_new] = 2
             m.pt_visible[pts_new] = 2
-            T_wc = np.linalg.inv(m.kf_pose[kf].astype(np.float64))
-            d = X[good] - T_wc[:3, 3]
+            d = X - T_wc[:3, 3]
             dn = np.linalg.norm(d, axis=1, keepdims=True)
             m.pt_normal[pts_new] = d / np.maximum(dn, 1e-9)
-            scale = self._scales[m.kf_level[kf, sel[good]]]
+            scale = self._scales[snap["level"][fk]]
             m.pt_max_dist[pts_new] = dn[:, 0] * scale
             m.pt_min_dist[pts_new] = m.pt_max_dist[pts_new] / (
                 self.cfg.orb.scale_factor ** (self.cfg.orb.n_levels - 1)
             )
-            m.bind(kf, sel[good], pts_new)
-            m.bind(n, idx[sel[good]], pts_new)
-            # mark as consumed so other neighbors don't re-create them
-            far_k[sel[good]] = False
+            m.bind(kf, fk, pts_new)
+            m.bind(n, fn, pts_new)
             for p in pts_new:
                 self.recent_points.append(
                     RecentPoint(pt=int(p), created_kf=self._kf_counter)
                 )
-            created += len(good)
-            if created > 256:
-                break
 
     # ------------------------------------------------------------------
     def _cull_points(self):
@@ -217,24 +291,44 @@ class LocalMapper:
             m.unbind_point(np.asarray(to_cull))
 
     # ------------------------------------------------------------------
-    def _fuse_neighbors(self, kf: int):
-        """Project covisible keyframes' points into kf and bind unmatched
-        features (one-direction fuse; duplicate resolution via existing
-        bindings)."""
+    # SearchInNeighbors fuse (one-direction: project covisible keyframes'
+    # points into kf, bind unmatched features; duplicate resolution via
+    # existing bindings). Snapshot/compute/merge split keeps the device
+    # projection-match out of the map lock.
+
+    def _fuse_snapshot(self, kf: int):
         m = self.map
         neighbors = m.covisible_keyframes(kf, min_weight=15, max_n=10)
         if len(neighbors) == 0:
-            return
+            return None
         cand = m.points_of_keyframes(neighbors)
         already = m.kf_point_idx[kf]
         cand = cand[~np.isin(cand, already[already >= 0])]
         if len(cand) == 0:
-            return
-        T = m.kf_pose[kf]
-        cam_center = -T[:3, :3].T @ T[:3, 3]
-        dists = np.linalg.norm(m.pt_pos[cand] - cam_center, axis=1)
-        pred_level = m.predict_scale(dists, cand)
-        M = len(cand)
+            return None
+        return dict(
+            kf=int(kf), uid=int(m.kf_uid[kf]), cand=cand,
+            pt_pos=m.pt_pos[cand].copy(), pt_desc=m.pt_desc[cand].copy(),
+            pt_valid=m.pt_valid[cand].copy(),
+            pt_first_kf=m.pt_first_kf[cand].copy(),
+            pred_level=m.predict_scale(
+                np.linalg.norm(
+                    m.pt_pos[cand]
+                    + (m.kf_pose[kf][:3, :3].T @ m.kf_pose[kf][:3, 3]),
+                    axis=1,
+                ),
+                cand,
+            ),
+            pose=m.kf_pose[kf].copy(),
+            kf_xy=m.kf_xy[kf].copy(), kf_level=m.kf_level[kf].copy(),
+            kf_desc=m.kf_desc[kf].copy(),
+            kf_unbound=(m.kf_feat_valid[kf]
+                        & (m.kf_point_idx[kf] < 0)).copy(),
+        )
+
+    def _fuse_compute(self, snap):
+        """Projection match against the snapshot (device — no lock)."""
+        M = len(snap["cand"])
         M_pad = 256  # shape bucketing (see tracking._match_and_optimize)
         while M_pad < M:
             M_pad *= 2
@@ -245,26 +339,43 @@ class LocalMapper:
             return out
 
         res = matchers.project_and_match(
-            jnp.asarray(padM(m.pt_pos[cand].astype(np.float32))),
-            jnp.asarray(padM(m.pt_desc[cand])),
-            jnp.asarray(padM(m.pt_valid[cand], False)),
-            jnp.asarray(T, jnp.float32),
-            jnp.asarray(m.kf_xy[kf]), jnp.asarray(m.kf_level[kf]),
-            jnp.asarray(m.kf_desc[kf]),
-            jnp.asarray(m.kf_feat_valid[kf] & (m.kf_point_idx[kf] < 0)),
+            jnp.asarray(padM(snap["pt_pos"].astype(np.float32))),
+            jnp.asarray(padM(snap["pt_desc"])),
+            jnp.asarray(padM(snap["pt_valid"], False)),
+            jnp.asarray(snap["pose"], jnp.float32),
+            jnp.asarray(snap["kf_xy"]), jnp.asarray(snap["kf_level"]),
+            jnp.asarray(snap["kf_desc"]),
+            jnp.asarray(snap["kf_unbound"]),
             jnp.full((M_pad,), 3.0, jnp.float32),
             jnp.asarray(self._scales),
-            jnp.asarray(padM(pred_level.astype(np.int32))),
+            jnp.asarray(padM(snap["pred_level"].astype(np.int32))),
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             th_desc=matchers.TH_LOW,
             level_window=jnp.int32(2),
             **self._cam_args,
         )
-        pf = np.asarray(res.point_for_feature)
+        return np.asarray(res.point_for_feature)
+
+    def _fuse_merge(self, snap, pf):
+        """Bind match results to the live map (under the map lock),
+        dropping anything that went stale during the compute window."""
+        m = self.map
+        kf = snap["kf"]
+        if int(m.kf_uid[kf]) != snap["uid"]:
+            return
         feats = np.nonzero(pf >= 0)[0]
+        if len(feats) == 0:
+            return
+        pts = snap["cand"][pf[feats]]
+        fresh = (
+            m.kf_feat_valid[kf, feats] & (m.kf_point_idx[kf, feats] < 0)
+            & m.pt_valid[pts]
+            & (m.pt_first_kf[pts] == snap["pt_first_kf"][pf[feats]])
+        )
+        feats, pts = feats[fresh], pts[fresh]
         if len(feats):
-            m.bind(kf, feats, cand[pf[feats]])
-            m.update_point_stats(cand[pf[feats]])
+            m.bind(kf, feats, pts)
+            m.update_point_stats(pts)
 
     # ------------------------------------------------------------------
     def _local_ba_snapshot(self, kf: int):

