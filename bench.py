@@ -255,6 +255,24 @@ def main():
     jax.block_until_ready(out)
     fps_fe_batched = nb * B / (time.perf_counter() - t0)
 
+    # serial DEVICE time, single vs batched (utils/stagebench chained
+    # protocol): the remote tunnel's ~2.4 ms/dispatch enqueue floor pins
+    # the unchained single-frame loop, so fps above reflects dispatch
+    # pipelining while these reflect what the chip itself spends — the
+    # honest single-vs-batched comparison for production hardware
+    from pointslot_tpu.utils.stagebench import timeit_ms as _chain_ms
+
+    def _fe_scalar(l, r):
+        sf = fe(l, r)
+        return jnp.sum(sf.xy) + jnp.sum(sf.depth)
+
+    def _fe_batch_scalar(ls, rs):
+        sf = fe.batch(ls, rs)
+        return jnp.sum(sf.xy) + jnp.sum(sf.depth)
+
+    fe_dev_ms = _chain_ms(_fe_scalar, *pairs[0])
+    fe_batch_dev_ms = _chain_ms(_fe_batch_scalar, lefts, rights) / B
+
     ba_ms_iter = _bench_ba_ms_per_iter()
     hamming_ms = _bench_hamming_ms()
 
@@ -288,6 +306,8 @@ def main():
         "e2e_mode0_fps": round(fps_mode0, 3),
         "frontend_fps": round(fps_fe, 3),
         "frontend_batched_fps": round(fps_fe_batched, 3),
+        "frontend_device_ms": round(fe_dev_ms, 3),
+        "frontend_batched_device_ms": round(fe_batch_dev_ms, 3),
         "ba_ms_per_lm_iter": round(ba_ms_iter, 3),
         "stage_ms": {k: round(v, 4) for k, v in stage_ms.items()},
         "roofline": roofs,

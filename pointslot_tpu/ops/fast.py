@@ -52,12 +52,13 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     import jax
 
     dt = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
-    h, w = img.shape
+    h, w = img.shape[-2:]
+    lead = img.ndim - 2  # leading batch dims (stacked L+R and/or vmap batch)
     imgb = img.astype(dt)
-    padded = jnp.pad(imgb, 3)
+    padded = jnp.pad(imgb, [(0, 0)] * lead + [(3, 3), (3, 3)])
     # d[k][y, x] = img[y + dy_k, x + dx_k] - img[y, x]; border wraps/zeros
     # differ from the roll version only inside the 3px frame zeroed below.
-    d = [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] - imgb
+    d = [padded[..., 3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] - imgb
          for dy, dx in CIRCLE]
 
     def _rot(xs, s):
@@ -79,29 +80,28 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     score = jnp.where(score > threshold, score, 0.0)
 
     # zero the 3px border (ring wraps around edges there)
-    h, w = img.shape
-    score = score.at[:3, :].set(0.0).at[-3:, :].set(0.0)
-    score = score.at[:, :3].set(0.0).at[:, -3:].set(0.0)
+    score = score.at[..., :3, :].set(0.0).at[..., -3:, :].set(0.0)
+    score = score.at[..., :, :3].set(0.0).at[..., :, -3:].set(0.0)
     return score
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     """Keep only local maxima in a 3x3 neighborhood (ties broken toward the
-    top-left pixel, matching raster-order NMS)."""
-    h, w = score.shape
-    neg_inf = jnp.float32(-1.0)
-    padded = jnp.pad(score, 1, constant_values=-1.0)
-    best = jnp.full((h, w), neg_inf)
-    strictly_greater = jnp.ones((h, w), bool)
+    top-left pixel, matching raster-order NMS). Supports leading batch
+    dims (stacked L+R images share one fused program)."""
+    h, w = score.shape[-2:]
+    lead = score.ndim - 2
+    padded = jnp.pad(score, [(0, 0)] * lead + [(1, 1), (1, 1)],
+                     constant_values=-1.0)
+    strictly_greater = jnp.ones(score.shape, bool)
     for dy in range(3):
         for dx in range(3):
             if dy == 1 and dx == 1:
                 continue
-            n = padded[dy : dy + h, dx : dx + w]
+            n = padded[..., dy : dy + h, dx : dx + w]
             if dy < 1 or (dy == 1 and dx < 1):
                 # earlier in raster order: must be strictly greater than them
                 strictly_greater &= score > n
             else:
                 strictly_greater &= score >= n
-            best = jnp.maximum(best, n)
     return jnp.where(strictly_greater, score, 0.0)

@@ -95,7 +95,7 @@ class StereoFrontend:
         parallel/step.py). Inputs (B, H, W); every output gains a leading
         batch axis."""
         if not hasattr(self, "_run_batch"):
-            self._run_batch = jax.jit(jax.vmap(self._run_impl))
+            self._run_batch = jax.jit(self._run_batch_impl)
         return StereoFrame(*self._run_batch(jnp.asarray(lefts), jnp.asarray(rights)))
 
     def batch_sharded(self, lefts, rights, mesh) -> StereoFrame:
@@ -110,7 +110,7 @@ class StereoFrontend:
             axis = mesh.axis_names[0]
             sh = NamedSharding(mesh, P(axis))
             self._run_batch_sharded = jax.jit(
-                jax.vmap(self._run_impl), in_shardings=(sh, sh)
+                self._run_batch_impl, in_shardings=(sh, sh)
             )
             self._run_batch_sharded_mesh = mesh
         return StereoFrame(
@@ -118,36 +118,104 @@ class StereoFrontend:
         )
 
     # ------------------------------------------------------------------
+    def _image_stage(self, imgs):
+        """Image-plane stages over a FLAT leading axis of G images:
+        pyramid + dense FAST scores. G = 2 (one stereo pair) on the live
+        path, G = 2B on the batched path — flat layout measured 2.2x
+        faster per image than per-pair programs on chip (bigger kernels,
+        1/G the launches)."""
+        cfg = self.config
+        levels = pyr_ops.build_pyramid(
+            imgs.astype(jnp.float32), cfg.n_levels, cfg.scale_factor
+        )
+        scores = [fast_ops.fast_score_map(x, cfg.min_th_fast)
+                  for x in levels]
+        return levels, scores
+
     def _frontend(self, left, right, gate, gate_r=None):
         ext = self.extractor
         cfg = self.config
-        left = left.astype(jnp.float32)
-        right = right.astype(jnp.float32)
-        levels_l = pyr_ops.build_pyramid(left, cfg.n_levels, cfg.scale_factor)
-        levels_r = pyr_ops.build_pyramid(right, cfg.n_levels, cfg.scale_factor)
-
-        def gated_scores(levels, g):
-            out = []
-            for img in levels:
-                s = fast_ops.fast_score_map(img, cfg.min_th_fast)
-                if g is not None:
-                    gg = jax.image.resize(g.astype(jnp.float32), img.shape, "nearest")
-                    s = s * gg
-                out.append(s)
-            return out
-
-        scores_l = gated_scores(levels_l, gate)
-        scores_r = gated_scores(levels_r, gate_r)
-
+        both = jnp.stack([left.astype(jnp.float32),
+                          right.astype(jnp.float32)])
+        levels_both, scores_both = self._image_stage(both)
+        if gate is not None or gate_r is not None:
+            ones = jnp.ones_like(both[0], bool)
+            g_both = jnp.stack([
+                gate if gate is not None else ones,
+                gate_r if gate_r is not None else ones,
+            ]).astype(jnp.float32)
+            scores_both = [
+                s * jax.image.resize(g_both, s.shape, "nearest")
+                for s in scores_both
+            ]
+        # single-pair path keeps PER-IMAGE extraction launches: the L
+        # image's patch DMA overlaps the R image's select/BRIEF compute
+        # (one fused multi launch serializes DMA then compute — measured
+        # ~0.8 ms slower per pair); the batched path amortizes launches
+        # across pairs instead (_run_batch_impl)
+        levels_l = [x[0] for x in levels_both]
+        levels_r = [x[1] for x in levels_both]
+        scores_l = [s[0] for s in scores_both]
+        scores_r = [s[1] for s in scores_both]
         feats_l, patches_l = ext._extract_from_scores(
             levels_l, scores_l, return_patches=True
         )
         fl = FeatureSet(*feats_l)
         fr = FeatureSet(*ext._extract_from_scores(levels_r, scores_r))
-
         u_right, depth, valid_st = self._stereo_from_patches(
             fl, fr, levels_l, levels_r, patches_l
         )
+        return (
+            fl.xy, fl.response, fl.angle, fl.level, fl.desc, fl.valid,
+            u_right, depth,
+        )
+
+    def _run_batch_impl(self, lefts, rights):
+        """Batched frontend: image-plane stages AND feature extraction on
+        the FLAT (2B, ...) axis (one patch-DMA launch, single big MXU
+        matmuls for orientation/BRIEF across the whole batch); the stereo
+        compute phases run vmapped over pairs with their two pallas
+        fetches hoisted out as flat whole-batch launches."""
+        from pointslot_tpu.ops.pallas_patch import extract_patches_stack
+
+        ext = self.extractor
+        L = self.config.n_levels
+        B, H, W = lefts.shape
+        flat = jnp.stack([lefts, rights], axis=1).reshape(B * 2, H, W)
+        levels, scores = self._image_stage(flat)
+        feats, patches, canvas = ext._extract_from_scores_multi(
+            levels, scores, return_patches=True
+        )                                   # leading axis 2B
+        feats_b = tuple(x.reshape(B, 2, *x.shape[1:]) for x in feats)
+        patches_b = patches.reshape(B, 2, *patches.shape[1:])
+        fl = FeatureSet(*(x[:, 0] for x in feats_b))
+        fr = FeatureSet(*(x[:, 1] for x in feats_b))
+
+        pre = jax.vmap(self._stereo_pre)(fl, fr)
+        base_r = ((jnp.arange(B, dtype=jnp.int32) * 2 + 1) * L)[:, None, None]
+        xyl_r = pre["xyl_r"]                                  # (B, K, 3)
+        K = xyl_r.shape[1]
+        xyl_r_flat = jnp.concatenate(
+            [xyl_r[..., :2], xyl_r[..., 2:3] + base_r], axis=-1
+        ).reshape(B * K, 3)
+        patch_r = extract_patches_stack(
+            canvas, xyl_r_flat, use_pallas=ext.use_pallas
+        ).reshape(B, K, *patches.shape[2:])
+        mid = jax.vmap(self._stereo_sad)(fl, pre, patches_b[:, 0], patch_r)
+        if "xyl_fine" not in mid:
+            u_right, depth = mid["u_right"], mid["depth"]
+        else:
+            xf = mid["xyl_fine"]                              # (B, 2n, 3)
+            n2 = xf.shape[1]
+            base_l = ((jnp.arange(B, dtype=jnp.int32) * 2) * L)[:, None]
+            row = jnp.where(xf[..., 2] == 0, base_l, base_l + L)
+            xf_flat = jnp.concatenate(
+                [xf[..., :2], row[..., None]], axis=-1
+            ).reshape(B * n2, 3)
+            both = extract_patches_stack(
+                canvas, xf_flat, use_pallas=ext.use_pallas
+            ).reshape(B, n2, *patches.shape[2:])
+            u_right, depth, _ = jax.vmap(self._stereo_fine)(fl, mid, both)
         return (
             fl.xy, fl.response, fl.angle, fl.level, fl.desc, fl.valid,
             u_right, depth,
@@ -159,9 +227,38 @@ class StereoFrontend:
         each level's segment slices statically and reads its own pyramid
         image — no pyramid-stack gathers. The LEFT windows are the very
         patches the extractor already DMA'd (same rounded level coords), so
-        only the right-image candidate windows are fetched here."""
-        import numpy as np
+        only the right-image candidate windows are fetched here.
 
+        Split into vmappable compute phases (_stereo_pre / _stereo_sad /
+        _stereo_fine) with the two pallas fetches between them, so the
+        batched frontend can run the phases under vmap and the fetches
+        FLAT across the whole batch (one launch each — pallas under vmap
+        both overflows scalar-prefetch SMEM and serializes)."""
+        from pointslot_tpu.ops.pallas_patch import (
+            extract_patches_stack, stack_pyramid_for_patches,
+        )
+
+        ext = self.extractor
+        pre = self._stereo_pre(fl, fr)
+        patch_r = extract_patches_stack(
+            stack_pyramid_for_patches(levels_r), pre["xyl_r"],
+            use_pallas=ext.use_pallas,
+        )
+        mid = self._stereo_sad(fl, pre, patch_l, patch_r)
+        fine_min = self.config.stereo_fine_min_level
+        if fine_min >= len(ext.budgets):
+            return mid["u_right"], mid["depth"], mid["valid_st"]
+        # one launch for both L and R level-0 windows: the two images
+        # stack on the patch canvas; the level column selects between them
+        lr_stack = stack_pyramid_for_patches([levels_l[0], levels_r[0]])
+        both = extract_patches_stack(lr_stack, mid["xyl_fine"],
+                                     use_pallas=ext.use_pallas)
+        return self._stereo_fine(fl, mid, both)
+
+    def _stereo_pre(self, fl, fr):
+        """Candidate match + rounded per-level window coords (no pallas).
+        xyl_r carries LOCAL pyramid level indices; callers offset them to
+        canvas rows."""
         from pointslot_tpu.ops import stereo as st
 
         ext = self.extractor
@@ -177,12 +274,6 @@ class StereoFrontend:
         scaled_ul = jnp.round(ul * inv_scale).astype(jnp.int32)
         scaled_vl = jnp.round(yl * inv_scale).astype(jnp.int32)
         scaled_ur = jnp.round(u0r * inv_scale).astype(jnp.int32)
-
-        # one stacked patch-DMA launch for the right candidate windows
-        from pointslot_tpu.ops.pallas_patch import (
-            extract_patches_stack, stack_pyramid_for_patches,
-        )
-
         xyl_r = []
         offset = 0
         for lvl, budget in enumerate(ext.budgets):
@@ -194,11 +285,21 @@ class StereoFrontend:
                 jnp.clip(scaled_vl[seg], 0, h - 1),
                 jnp.full((budget,), lvl, jnp.int32),
             ], axis=1).astype(jnp.int32))
-        patch_r = extract_patches_stack(
-            stack_pyramid_for_patches(levels_r), jnp.concatenate(xyl_r),
-            use_pallas=ext.use_pallas,
+        return dict(
+            matched=matched, scaled_ul=scaled_ul, scaled_vl=scaled_vl,
+            scaled_ur=scaled_ur, xyl_r=jnp.concatenate(xyl_r),
         )
 
+    def _stereo_sad(self, fl, pre, patch_l, patch_r):
+        """SAD refine over the fetched windows + the level-0 fine-refine
+        window coords (no pallas). xyl_fine's level column is 0 for the
+        left image, 1 for the right; callers map to canvas rows."""
+        from pointslot_tpu.ops import stereo as st
+
+        ext = self.extractor
+        ul, yl = fl.xy[:, 0], fl.xy[:, 1]
+        scaled_ul, scaled_vl = pre["scaled_ul"], pre["scaled_vl"]
+        scaled_ur = pre["scaled_ur"]
         lh = self._lshapes[fl.level, 0]
         lw = self._lshapes[fl.level, 1]
         in_bounds = (
@@ -208,9 +309,10 @@ class StereoFrontend:
         )
         u_right, depth, valid_st = st.sad_refine_from_patches(
             patch_l, patch_r, scaled_ul, scaled_vl, scaled_ur,
-            ul, matched, in_bounds, self._scales[fl.level],
+            ul, pre["matched"], in_bounds, self._scales[fl.level],
             self.fx, self.bf,
         )
+        out = dict(u_right=u_right, depth=depth, valid_st=valid_st)
         # second pass at full resolution: coarse-octave disparities carry
         # error proportional to their scale; re-fitting at level 0 removes
         # it (st.fine_refine). The per-level slot layout makes the coarse
@@ -219,7 +321,7 @@ class StereoFrontend:
         fine_min = self.config.stereo_fine_min_level
         if fine_min < len(ext.budgets):
             s0 = sum(ext.budgets[:fine_min])
-            H0, W0 = levels_l[0].shape
+            H0, W0 = ext.shapes[0]
             u0 = jnp.round(u_right[s0:]).astype(jnp.int32)
             v0 = jnp.round(yl[s0:]).astype(jnp.int32)
             ulr = jnp.round(ul[s0:]).astype(jnp.int32)
@@ -229,30 +331,36 @@ class StereoFrontend:
                 & (ulr - margin >= 0) & (ulr + margin < W0)
                 & (u0 - margin >= 0) & (u0 + margin < W0)
             )
-            # one launch for both L and R windows: the two images stack on
-            # the patch canvas and the level column selects between them
-            from pointslot_tpu.ops.pallas_patch import (
-                extract_patches_stack, stack_pyramid_for_patches,
-            )
-
-            n_t = v0.shape[0]
-            lr_stack = stack_pyramid_for_patches([levels_l[0], levels_r[0]])
-            xyl = jnp.concatenate([
+            out["fine_inb"] = inb
+            out["xyl_fine"] = jnp.concatenate([
                 jnp.stack([jnp.clip(ulr, 0, W0 - 1), jnp.clip(v0, 0, H0 - 1),
                            jnp.zeros_like(ulr)], axis=1),
                 jnp.stack([jnp.clip(u0, 0, W0 - 1), jnp.clip(v0, 0, H0 - 1),
                            jnp.ones_like(u0)], axis=1),
             ]).astype(jnp.int32)
-            both = extract_patches_stack(lr_stack, xyl,
-                                         use_pallas=ext.use_pallas)
-            pl0, pr0 = both[:n_t], both[n_t:]
-            uf, df, _ = st.fine_refine_from_patches(
-                pl0, pr0, ul[s0:], u_right[s0:], depth[s0:],
-                valid_st[s0:] & inb, self.bf,
-            )
-            u_right = jnp.concatenate([u_right[:s0], uf])
-            depth = jnp.concatenate([depth[:s0], df])
-        return u_right, depth, valid_st
+        return out
+
+    def _stereo_fine(self, fl, mid, both_patches):
+        """Apply the level-0 fine refine given its fetched windows."""
+        from pointslot_tpu.ops import stereo as st
+
+        ext = self.extractor
+        fine_min = self.config.stereo_fine_min_level
+        s0 = sum(ext.budgets[:fine_min])
+        u_right, depth = mid["u_right"], mid["depth"]
+        valid_st = mid["valid_st"]
+        ul = fl.xy[:, 0]
+        n_t = mid["xyl_fine"].shape[0] // 2
+        pl0, pr0 = both_patches[:n_t], both_patches[n_t:]
+        uf, df, _ = st.fine_refine_from_patches(
+            pl0, pr0, ul[s0:], u_right[s0:], depth[s0:],
+            valid_st[s0:] & mid["fine_inb"], self.bf,
+        )
+        return (
+            jnp.concatenate([u_right[:s0], uf]),
+            jnp.concatenate([depth[:s0], df]),
+            valid_st,
+        )
 
     def _run_impl(self, left, right):
         return self._frontend(left, right, None)

@@ -323,6 +323,77 @@ class ORBExtractor:
             return feats, patches
         return feats
 
+    def _extract_from_scores_multi(self, levels, scores,
+                                   return_patches: bool = False):
+        """Flat multi-image extraction: `levels`/`scores` are per-level
+        lists of (G, h, w) arrays covering G images (L+R of one pair, or
+        2B images of a batch). Selection vmaps per image; the patch DMA is
+        ONE kernel launch over all G*K keypoints against the multi-image
+        canvas, and orientation/blur/BRIEF run as single (G*K)-row MXU
+        dispatches — flat measured 1.7-2x faster per image than the
+        vmapped per-image programs. Outputs carry a leading G axis."""
+        from pointslot_tpu.ops.pallas_patch import (
+            PATCH, extract_patches_stack, stack_pyramid_for_patches_multi,
+        )
+
+        cfg = self.config
+        G = levels[0].shape[0]
+        L = cfg.n_levels
+        out_xy, out_resp, out_lvl, out_valid, out_xyl = [], [], [], [], []
+        for lvl, score in enumerate(scores):
+            h, w = self.shapes[lvl]
+            m = EDGE_MARGIN
+            border = (
+                jnp.zeros((h, w), score.dtype).at[m : h - m, m : w - m].set(1.0)
+            )
+            score = fast_ops.nms3x3(score * border[None])
+            k = self.budgets[lvl]
+            # unrolled over the (static, small) image axis: vmapped
+            # reduce_window loses the native-layout fast path _select_cells
+            # relies on
+            per_img = [self._select_cells(score[g], k) for g in range(G)]
+            top = jnp.stack([p[0] for p in per_img])
+            ys = jnp.stack([p[1] for p in per_img])
+            xs = jnp.stack([p[2] for p in per_img])             # (G, k) each
+            out_xyl.append(jnp.stack([
+                jnp.clip(xs, 0, w - 1), jnp.clip(ys, 0, h - 1),
+                jnp.full_like(xs, lvl),
+            ], axis=-1).astype(jnp.int32))                      # (G, k, 3)
+            scale = jnp.float32(cfg.scale_factor ** lvl)
+            out_xy.append(
+                jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)],
+                          -1) * scale
+            )
+            out_resp.append(top)
+            out_lvl.append(jnp.full(top.shape, lvl, jnp.int32))
+            out_valid.append(top > 0.0)
+        xyl = jnp.concatenate(out_xyl, axis=1)                  # (G, K, 3)
+        K = xyl.shape[1]
+        # canvas row of image g's level l is g*L + l
+        g_off = (jnp.arange(G, dtype=jnp.int32) * L)[:, None, None]
+        xyl_flat = jnp.concatenate(
+            [xyl[..., :2], xyl[..., 2:3] + g_off], axis=-1
+        ).reshape(G * K, 3)
+        canvas = stack_pyramid_for_patches_multi(levels)
+        patches = extract_patches_stack(
+            canvas, xyl_flat, use_pallas=self.use_pallas,
+        )                                                       # (G*K, 48, 48)
+        angle = self._orientation_from_patches(patches)
+        desc = self._descriptors_from_patches(self._blur_patches(patches), angle)
+        feats = (
+            jnp.concatenate(out_xy, axis=1),                    # (G, K, 2)
+            jnp.concatenate(out_resp, axis=1),
+            angle.reshape(G, K),
+            jnp.concatenate(out_lvl, axis=1),
+            desc.reshape(G, K, 8),
+            jnp.concatenate(out_valid, axis=1),
+        )
+        if return_patches:
+            # the multi-image canvas is returned too: the stereo fetches
+            # reuse it (image g's level l at canvas row g*n_levels + l)
+            return feats, patches.reshape(G, K, PATCH, PATCH), canvas
+        return feats
+
     def _extract_impl(self, img: jnp.ndarray):
         cfg = self.config
         levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)

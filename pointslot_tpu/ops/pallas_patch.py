@@ -31,6 +31,7 @@ PATCH = 48  # covers the 31x31 orientation disc and the rotated BRIEF
 HALF = PATCH // 2
 _RY = PATCH + 8     # aligned DMA region rows
 _RX = 256           # aligned DMA region cols (two lane tiles)
+_MAX_K_PER_LAUNCH = 2016  # scalar-prefetch SMEM bound (see chunking below)
 
 
 def _extract_patches_xla(img_padded: jnp.ndarray, xy_corner: jnp.ndarray):
@@ -41,11 +42,36 @@ def _extract_patches_xla(img_padded: jnp.ndarray, xy_corner: jnp.ndarray):
     return img_padded[rows[:, :, None], cols[:, None, :]]
 
 
+def stack_pyramid_for_patches_multi(levels) -> jnp.ndarray:
+    """Multi-image canvas: `levels` is a per-level list of (G, h, w)
+    arrays (G images sharing one fused frontend program). Returns
+    (G * n_levels, Hp, Wp) with image g's level l at row g * n_levels + l,
+    so ONE kernel launch serves every patch of every image — the vmapped
+    per-image kernel measured 1.7x slower per frame than flat."""
+    dt = jnp.bfloat16 if default_use_pallas() else levels[0].dtype
+    G = levels[0].shape[0]
+    n_levels = len(levels)
+    ref = pad_for_patches(levels[0]).astype(dt)          # (G, Hp, Wp)
+    Hp, Wp = ref.shape[-2:]
+    cols = [ref]
+    for im in levels[1:]:
+        cols.append(jnp.pad(
+            im.astype(dt),
+            ((0, 0), (HALF, Hp - im.shape[-2] - HALF),
+             (HALF, Wp - im.shape[-1] - HALF)),
+        ))
+    return jnp.stack(cols, axis=1).reshape(G * n_levels, Hp, Wp)
+
+
 def pad_for_patches(img: jnp.ndarray) -> jnp.ndarray:
     """Pad so any in-image-centered patch window (plus DMA alignment slop)
     stays in bounds: HALF top/left, HALF + alignment slack bottom/right
-    (16 rows of slack covers the bf16 canvas's 16-row sublane alignment)."""
-    return jnp.pad(img, ((HALF, HALF + 16), (HALF, HALF + _RX - PATCH)))
+    (16 rows of slack covers the bf16 canvas's 16-row sublane alignment).
+    Leading batch dims pass through."""
+    lead = [(0, 0)] * (img.ndim - 2)
+    return jnp.pad(
+        img, lead + [(HALF, HALF + 16), (HALF, HALF + _RX - PATCH)]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
@@ -68,7 +94,7 @@ def extract_patches(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return _extract_patches_xla(img_padded, xy_corner)
 
 
-_GROUP = 8  # patches fetched per grid step (DMAs overlap within a step)
+_GROUP = 16  # patches fetched per grid step (DMAs overlap within a step)
 
 
 def _patch_kernel_stack(xy_ref, img_ref, out_ref, scratch, sems):
@@ -145,6 +171,17 @@ def extract_patches_stack(stack: jnp.ndarray, xyl: jnp.ndarray,
     (x, y, level) with x/y CENTER coords already clamped to their level's
     extent. Returns (K, 48, 48) patches centered at the keypoint."""
     K = xyl.shape[0]
+    if use_pallas and K > _MAX_K_PER_LAUNCH:
+        # the per-step scalar-prefetch SMEM footprint scales with K and
+        # overflows the 1 MB SMEM around ~4k keypoints; chunked launches
+        # keep the flat whole-batch path (still O(K/2048) launches, not
+        # O(images))
+        outs = [
+            extract_patches_stack(stack, xyl[i : i + _MAX_K_PER_LAUNCH],
+                                  use_pallas=True)
+            for i in range(0, K, _MAX_K_PER_LAUNCH)
+        ]
+        return jnp.concatenate(outs)
     if use_pallas:
         Kp = -(-K // _GROUP) * _GROUP
         if Kp != K:

@@ -24,12 +24,20 @@ def level_shapes(h: int, w: int, n_levels: int, scale_factor: float) -> List[Tup
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> List[jnp.ndarray]:
-    """img (H, W) float32 -> list of per-level images (bilinear resize)."""
-    h, w = img.shape
+    """img (..., H, W) float32 -> list of per-level images, each level a
+    bilinear resize of the PREVIOUS level — the reference's cascade
+    (ORBextractor::ComputePyramid resizes level l-1 into l,
+    src/ORBextractor.cc:1107). Cascading also reads geometrically
+    shrinking sources instead of re-reading the full-res image per level
+    (8x full-res reads -> ~2.2x total). Leading batch dims pass through
+    (the frontend stacks L+R so both pyramids share one fused program)."""
+    h, w = img.shape[-2:]
+    lead = img.shape[:-2]
     shapes = level_shapes(h, w, n_levels, scale_factor)
     out = [img]
     for lvl in range(1, n_levels):
-        out.append(jax.image.resize(img, shapes[lvl], method="bilinear"))
+        out.append(jax.image.resize(out[-1], lead + shapes[lvl],
+                                    method="bilinear"))
     return out
 
 

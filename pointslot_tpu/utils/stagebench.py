@@ -99,7 +99,8 @@ def frontend_prefixes(fe) -> dict:
         return out[0].sum() + out[1].sum()
 
     def p_full(l, r):
-        return fe(l, r)
+        sf = fe(l, r)
+        return jnp.sum(sf.xy) + jnp.sum(sf.depth)
 
     return {
         "pyr_fast_select": p_select,
@@ -110,17 +111,30 @@ def frontend_prefixes(fe) -> dict:
 
 
 def timeit_ms(fn, *args, n=30, warmup=3):
+    """Serial DEVICE time of a scalar-returning fn via an in-jit chained
+    loop: iteration k's input depends on k-1's output, so nothing
+    pipelines, and the final host fetch drains the whole chain. Plain
+    dispatch loops + block_until_ready are unreliable through the remote
+    TPU tunnel (block can return with work in flight, and the ~2.4 ms
+    per-dispatch enqueue floor pins small programs)."""
     import jax
+    import jax.numpy as jnp
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    a, rest = args[0], args[1:]
+
+    @jax.jit
+    def chain(a, *rest):
+        def body(i, acc):
+            o = fn(a + (acc * 0).astype(a.dtype), *rest)
+            return acc + o.astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(chain(a, *rest))  # compile + settle
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+    float(chain(a, *rest))
+    t1 = time.perf_counter()
+    float(chain(a, *rest))
+    return min(t1 - t0, time.perf_counter() - t1) / n * 1e3
 
 
 def frontend_stage_ms(fe, left, right, n=30) -> dict:
