@@ -249,3 +249,60 @@ class FusedObjectPhase:
             return r.T, vel_new, r.n_inliers
 
         return jax.vmap(one)(obj_pos, obj_desc, obj_valid, T_prev, velocity)
+
+
+class FusedFrameStep:
+    """Camera step + batched object phase in ONE device dispatch — the
+    full mode-4 per-frame hot path as a single program.
+
+    NOTE: for a streaming loop the two-dispatch split (`.step` then
+    `.phase`) measured FASTER on chip (187 vs 172 fps): frame i+1's
+    enqueue/DMA overlaps frame i's object compute across the dispatch
+    boundary. Use this fused form when a single program is structurally
+    required (one enqueue slot per frame, remote/queued execution);
+    use .step/.phase for lowest streaming latency."""
+
+    def __init__(self, config: SystemConfig,
+                 frontend: StereoFrontend = None):
+        self.step = FusedTrackStep(config, frontend)
+        self.phase = FusedObjectPhase(config)
+        self._run = jax.jit(self._impl)
+
+    @property
+    def frontend(self):
+        return self.step.frontend
+
+    def _impl(self, left, right, T_prev, velocity,
+              map_pos, map_desc, map_level, map_valid,
+              obj_pos, obj_desc, obj_valid, T_obj, vel_obj):
+        r = FusedStepResult(*self.step._step_impl(
+            left, right, T_prev, velocity,
+            map_pos, map_desc, map_level, map_valid,
+        ))
+        T_new, vel_new, n_inl = self.phase._impl(
+            r.xy, r.level, r.desc, r.valid, r.depth, r.u_right,
+            obj_pos, obj_desc, obj_valid, T_obj, vel_obj,
+        )
+        return tuple(r) + (T_new, vel_new, n_inl)
+
+    def __call__(self, left, right, T_prev, velocity,
+                 map_pos, map_desc, map_level, map_valid,
+                 obj_pos, obj_desc, obj_valid, T_obj, vel_obj=None):
+        """Returns (FusedStepResult, T_obj', vel_obj', obj_n_inliers) —
+        all chainable on device."""
+        if vel_obj is None:
+            vel_obj = jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                               (np.asarray(obj_pos).shape[0], 1, 1))
+        out = self._run(
+            jnp.asarray(left), jnp.asarray(right),
+            jnp.asarray(T_prev, jnp.float32),
+            jnp.asarray(velocity, jnp.float32),
+            jnp.asarray(map_pos, jnp.float32),
+            jnp.asarray(map_desc, jnp.uint32),
+            jnp.asarray(map_level, jnp.int32), jnp.asarray(map_valid, bool),
+            jnp.asarray(obj_pos, jnp.float32),
+            jnp.asarray(obj_desc, jnp.uint32), jnp.asarray(obj_valid, bool),
+            jnp.asarray(T_obj, jnp.float32), jnp.asarray(vel_obj, jnp.float32),
+        )
+        n = len(FusedStepResult._fields)
+        return FusedStepResult(*out[:n]), out[n], out[n + 1], out[n + 2]

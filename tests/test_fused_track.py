@@ -115,3 +115,47 @@ def test_fused_object_phase_recovers_pose():
         assert int(n_inl[o]) > 30
         err = np.linalg.norm(np.asarray(T_out[o])[:3, 3] - T_true[o][:3, 3])
         assert err < 0.03, f"object {o}: {err:.4f} m"
+
+
+def test_fused_frame_step_matches_two_dispatch():
+    """FusedFrameStep (one program) must equal .step then .phase (the
+    streaming two-dispatch form) bit-for-bit on the same inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointslot_tpu.config import CameraConfig, SystemConfig
+    from pointslot_tpu.ops.fused_track import FusedFrameStep
+
+    cam = CameraConfig(width=512, height=256, fx=300.0, fy=300.0,
+                       cx=256.0, cy=128.0, bf=60.0)
+    cfg = SystemConfig().replace(camera=cam)
+    full = FusedFrameStep(cfg)
+
+    rng = np.random.default_rng(3)
+    left = rng.integers(0, 255, (cam.height, cam.width), dtype=np.uint8)
+    right = np.roll(left, -4, axis=1)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    M, O, Mo = 256, 2, 64
+    pos = rng.uniform([-5, -2, 2], [5, 2, 20], (M, 3)).astype(np.float32)
+    dsc = rng.integers(0, 2**32, (M, 8), dtype=np.uint32)
+    lvl = np.zeros(M, np.int32)
+    val = np.ones(M, bool)
+    opos = rng.uniform([-1, -1, -1], [1, 1, 1], (O, Mo, 3)).astype(np.float32)
+    odesc = rng.integers(0, 2**32, (O, Mo, 8), dtype=np.uint32)
+    ovalid = np.ones((O, Mo), bool)
+    oT = np.tile(np.eye(4, dtype=np.float32), (O, 1, 1))
+    oT[:, 2, 3] = 8.0
+    ovel = np.tile(np.eye(4, dtype=np.float32), (O, 1, 1))
+
+    r2 = full.step(left, right, eye, eye, pos, dsc, lvl, val)
+    T2, v2, n2 = full.phase(r2.xy, r2.level, r2.desc, r2.valid, r2.depth,
+                            r2.u_right, opos, odesc, ovalid, oT, ovel)
+    r1, T1, v1, n1 = full(left, right, eye, eye, pos, dsc, lvl, val,
+                          opos, odesc, ovalid, oT, ovel)
+
+    np.testing.assert_allclose(np.asarray(r1.T_cw), np.asarray(r2.T_cw),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r1.desc), np.asarray(r2.desc))
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
