@@ -203,6 +203,44 @@ class ORBExtractor:
         top, ti = jax.lax.top_k(flat_scores, k)
         return top, jnp.take(flat_y, ti), jnp.take(flat_x, ti)
 
+    def _select_cells_batched(self, score: jnp.ndarray, k: int):
+        """`_select_cells` over arbitrary leading dims in ONE
+        reduce_window/argmax/top_k chain (the multi-image path unrolled
+        G per-image chains per level). Same per-cell argmax + top-k
+        policy — bit-identical selections. score (..., h, w) ->
+        (top, ys, xs) each (..., k)."""
+        cs = self.cell_size
+        h, w = score.shape[-2:]
+        lead = score.shape[:-2]
+        nl = len(lead)
+        hc, wc = -(-h // cs), -(-w // cs)
+        pad_cfg = ((0, 0),) * nl + ((0, hc * cs - h), (0, wc * cs - w))
+        win = (1,) * nl + (cs, cs)
+        cellmax = jax.lax.reduce_window(
+            score, -jnp.inf, jax.lax.max, win, win, pad_cfg
+        )                                                 # (..., hc, wc)
+        up = jnp.repeat(jnp.repeat(cellmax, cs, -2), cs, -1)[..., :h, :w]
+        flat_idx = (
+            jnp.arange(h, dtype=jnp.int32)[:, None] * w
+            + jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        none = jnp.int32(h * w)
+        masked_idx = jnp.where((score >= up) & (score > 0), flat_idx, none)
+        cell_idx = jax.lax.reduce_window(
+            masked_idx, none, jax.lax.min, win, win, pad_cfg
+        )
+        has = cell_idx < none
+        cell_idx = jnp.where(has, cell_idx, 0)
+        flat_scores = jnp.where(has, cellmax, 0.0).reshape(lead + (hc * wc,))
+        flat_cells = cell_idx.reshape(lead + (hc * wc,))
+        if k > hc * wc:
+            padn = ((0, 0),) * nl + ((0, k - hc * wc),)
+            flat_scores = jnp.pad(flat_scores, padn)
+            flat_cells = jnp.pad(flat_cells, padn)
+        top, ti = jax.lax.top_k(flat_scores, k)
+        sel = jnp.take_along_axis(flat_cells, ti, axis=-1)
+        return top, sel // w, sel % w
+
     def _orientation_from_patches(self, patches: jnp.ndarray):
         """Intensity-centroid angle from raw (K, 48, 48) patches.
 
@@ -348,13 +386,11 @@ class ORBExtractor:
             )
             score = fast_ops.nms3x3(score * border[None])
             k = self.budgets[lvl]
-            # unrolled over the (static, small) image axis: vmapped
-            # reduce_window loses the native-layout fast path _select_cells
-            # relies on
-            per_img = [self._select_cells(score[g], k) for g in range(G)]
-            top = jnp.stack([p[0] for p in per_img])
-            ys = jnp.stack([p[1] for p in per_img])
-            xs = jnp.stack([p[2] for p in per_img])             # (G, k) each
+            # one batched chain for all G images of this level (the
+            # per-image unroll was 3 kernels x G per level; a leading
+            # batch dim on reduce_window keeps the native layout, unlike
+            # vmap which retiled it)
+            top, ys, xs = self._select_cells_batched(score, k)  # (G, k) each
             out_xyl.append(jnp.stack([
                 jnp.clip(xs, 0, w - 1), jnp.clip(ys, 0, h - 1),
                 jnp.full_like(xs, lvl),

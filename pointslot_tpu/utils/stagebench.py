@@ -113,28 +113,39 @@ def frontend_prefixes(fe) -> dict:
 def timeit_ms(fn, *args, n=30, warmup=3):
     """Serial DEVICE time of a scalar-returning fn via an in-jit chained
     loop: iteration k's input depends on k-1's output, so nothing
-    pipelines, and the final host fetch drains the whole chain. Plain
-    dispatch loops + block_until_ready are unreliable through the remote
-    TPU tunnel (block can return with work in flight, and the ~2.4 ms
-    per-dispatch enqueue floor pins small programs)."""
+    pipelines. Plain dispatch loops + block_until_ready are unreliable
+    through the remote TPU tunnel (block can return with work in flight,
+    and the ~2.4 ms per-dispatch enqueue floor pins small programs).
+
+    The chain call itself carries a LARGE fixed cost through the tunnel
+    (~25 ms dispatch+sync roundtrip — measured: reported(n) fits
+    fixed/n + c almost exactly), so a single-point measurement at n=30
+    overstates every absolute by ~0.8 ms. Two-point calibration removes
+    it: run the same compiled chain at n and 3n iterations (dynamic trip
+    count -> one compile) and report (T(3n) - T(n)) / 2n."""
     import jax
     import jax.numpy as jnp
 
     a, rest = args[0], args[1:]
 
     @jax.jit
-    def chain(a, *rest):
+    def chain(steps, a, *rest):
         def body(i, acc):
             o = fn(a + (acc * 0).astype(a.dtype), *rest)
             return acc + o.astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
-    float(chain(a, *rest))  # compile + settle
-    t0 = time.perf_counter()
-    float(chain(a, *rest))
-    t1 = time.perf_counter()
-    float(chain(a, *rest))
-    return min(t1 - t0, time.perf_counter() - t1) / n * 1e3
+    float(chain(n, a, *rest))   # compile + settle
+    float(chain(3 * n, a, *rest))
+
+    def once(steps):
+        t0 = time.perf_counter()
+        float(chain(steps, a, *rest))
+        return time.perf_counter() - t0
+
+    t1 = min(once(n), once(n))
+    t3 = min(once(3 * n), once(3 * n))
+    return max(t3 - t1, 0.0) / (2 * n) * 1e3
 
 
 def frontend_stage_ms(fe, left, right, n=30) -> dict:
