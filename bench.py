@@ -286,8 +286,20 @@ def main():
     from pointslot_tpu.utils import roofline, stagebench
 
     stage_ms = stagebench.frontend_stage_ms(fe, *pairs[0], n=n_iters)
-    stage_ms["camera_match_lm"] = max(1e3 / fps_mode0 - 1e3 / fps_fe, 0.0)
-    stage_ms["object_phase"] = max(1e3 / fps_mode4 - 1e3 / fps_mode0, 0.0)
+    # direct in-jit chained timing of the post-frontend stages (match/LM
+    # and object phase) — replaces the old fps-subtraction attribution,
+    # which inherited the run-to-run noise of two fps measurements
+    track_ms = stagebench.track_stage_ms(
+        step, phase, pairs[0][0], pairs[0][1],
+        (pos, dsc, lvl, val), (opos, odesc, ovalid, jnp.asarray(oT)),
+        n=n_iters,
+    )
+    for k in ("cam_match1", "cam_lm1", "cam_match2", "cam_lm2"):
+        stage_ms[k] = track_ms[k]
+    stage_ms["camera_match_lm"] = sum(
+        track_ms[k] for k in ("cam_match1", "cam_lm1", "cam_match2", "cam_lm2")
+    )
+    stage_ms["object_phase"] = track_ms["object_phase"]
     stage_ms["hamming_match"] = hamming_ms
     stage_ms["ba_lm_iter"] = ba_ms_iter
 
@@ -300,6 +312,30 @@ def main():
         "hamming_match": (roofline.hamming_model(2048, 2048), hamming_ms),
         "ba_lm_iter": (roofline.ba_iteration_model(32, 4096, 8), ba_ms_iter),
     })
+
+    # --- extended sections (each guarded: one failure must not cost the
+    # round its headline number) ---
+    extra = {}
+    try:
+        r_feat = run_loop(1, False)
+        feat = (r_feat.xy, r_feat.level, r_feat.desc, r_feat.valid,
+                r_feat.depth, r_feat.u_right)
+        extra["object_phase_ms_by_count"] = _bench_object_scaling(
+            phase, feat, opos, odesc, ovalid, jnp.asarray(oT))
+    except Exception as e:   # noqa: BLE001
+        extra["error_object_scaling"] = f"{type(e).__name__}: {e}"
+    try:
+        extra["gba_solve_ms_p256"] = round(_bench_gba_ms(), 1)
+    except Exception as e:   # noqa: BLE001
+        extra["error_gba"] = f"{type(e).__name__}: {e}"
+    try:
+        extra.update(_bench_mode3(pairs))
+    except Exception as e:   # noqa: BLE001
+        extra["error_mode3"] = f"{type(e).__name__}: {e}"
+    try:
+        extra.update(_bench_full_system())
+    except Exception as e:   # noqa: BLE001
+        extra["error_full_system"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "e2e_mode4_fps",
@@ -316,8 +352,226 @@ def main():
         "ba_ms_per_lm_iter": round(ba_ms_iter, 3),
         "stage_ms": {k: round(v, 4) for k, v in stage_ms.items()},
         "roofline": roofs,
+        **extra,
         **_provenance(),
     }), file=sys.stderr)
+
+
+def _bench_full_system(n_frames=80):
+    """system_mode4_fps: the FULL System.track_stereo loop — mapping
+    worker live, keyframe creation, object host pipeline, device fast
+    path — on pre-rendered synthetic KITTI-geometry frames. This is the
+    quantity the reference actually reports (median TrackStereo wall
+    time over a run with its mapping threads running,
+    reference Examples/Stereo/stereo_kitti.cc:151-160); the headline
+    e2e_mode4_fps above is the device hot path with map tables frozen."""
+    import threading
+
+    from pointslot_tpu import run as run_mod
+    from pointslot_tpu.config import SystemConfig
+    from pointslot_tpu.slam.system import System
+
+    cfg = SystemConfig().replace(slot_mode=4)
+    cfg = cfg.replace(runtime=cfg.runtime.__class__(**{
+        **cfg.runtime.__dict__,
+        "async_mapping": True,
+        "device_resident_tracking": True,
+        "profile": True,
+    }))
+
+    class _Args:
+        synthetic = n_frames
+        synthetic_objects = 2
+
+    frames, _ = run_mod._synthetic_frames(_Args(), cfg)
+    frames = list(frames)   # pre-render: exclude host PNG synthesis, as
+    #                         the reference excludes imread from TrackStereo
+
+    system = System(cfg)
+
+    class TimedLock:
+        """Map-lock proxy accumulating tracking-thread acquire wait."""
+
+        def __init__(self, inner):
+            self._l = inner
+            self.wait_s = 0.0
+            self._main = threading.get_ident()
+
+        def __enter__(self):
+            t0 = time.perf_counter()
+            self._l.acquire()
+            if threading.get_ident() == self._main:
+                self.wait_s += time.perf_counter() - t0
+            return self
+
+        def __exit__(self, *exc):
+            self._l.release()
+
+        def acquire(self, *a, **k):
+            return self._l.acquire(*a, **k)
+
+        def release(self):
+            self._l.release()
+
+    lock = TimedLock(system.map_lock)
+    system.map_lock = lock
+    system.local_mapper.lock = lock
+    if system.loop_closer is not None:
+        system.loop_closer.map_lock = lock
+
+    for frame_id, ts, left, right, dets, inst, flow in frames:
+        system.track_stereo(left, right, ts, frame_id, detections=dets,
+                            instance_mask=inst, flow=flow)
+    stats = system.shutdown()
+    med = max(stats.get("median_track_s", 0.0), 1e-9)
+    mean = max(stats.get("mean_track_s", 0.0), 1e-9)
+    out = {
+        "system_mode4_fps": round(1.0 / med, 3),
+        "system_mode4_mean_fps": round(1.0 / mean, 3),
+        "system_map_lock_wait_ms": round(lock.wait_s * 1e3, 3),
+        "system_n_keyframes": stats.get("n_keyframes"),
+        "system_n_frames": n_frames,
+    }
+    prof = stats.get("profile", {}).get("stages", {})
+    if "mapping" in prof:
+        out["system_mapping_ms_per_kf"] = round(prof["mapping"]["mean_ms"], 3)
+    return out
+
+
+def _bench_object_scaling(phase, feat, opos1, odesc1, ovalid1, oT1,
+                          counts=(1, 2, 4, 8, 16), n=20):
+    """FusedObjectPhase device ms at O objects (tables tiled from the
+    O=1 slice) — the EP-batching scaling curve. KITTI frames carry up to
+    Max_OBJ_NUM=50 objects (reference include/Frame.h:42); the e2e
+    number above uses O=2 only."""
+    import jax.numpy as jnp
+
+    from pointslot_tpu.utils.stagebench import timeit_ms
+
+    feat_xy, feat_level, feat_desc, feat_valid, feat_depth, feat_ur = feat
+    out = {}
+    for O in counts:
+        opos = jnp.tile(opos1[:1], (O, 1, 1))
+        odesc = jnp.tile(odesc1[:1], (O, 1, 1))
+        ovalid = jnp.tile(ovalid1[:1], (O, 1))
+        oT = jnp.tile(oT1[:1], (O, 1, 1))
+        ovel = jnp.tile(jnp.eye(4, dtype=jnp.float32), (O, 1, 1))
+
+        def fn(xy, lvl, dsc, val, dep, ur, opos, odesc, ovalid, oT, ovel):
+            T_new, _, n_inl = phase._impl(
+                xy, lvl, dsc, val, dep, ur, opos, odesc, ovalid, oT, ovel
+            )
+            return jnp.sum(T_new) + jnp.sum(n_inl).astype(jnp.float32)
+
+        out[str(O)] = round(timeit_ms(
+            fn, feat_xy, feat_level, feat_desc, feat_valid, feat_depth,
+            feat_ur, opos, odesc, ovalid, oT, ovel, n=n,
+        ), 4)
+    return out
+
+
+def _bench_mode3(pairs, n=20):
+    """Mode-3 on-chip throughput with synthetic weights: the jitted
+    YOLOv5 forward+decode+NMS device ms (the reference's dominant
+    per-frame GPU cost, src/YOLOdetector.cc:81), plus the full mode-3
+    System fps in-loop (detector + ReID + DeepSORT association + SLOT
+    tracking, reference src/Frame.cc:2546-2621). Accuracy needs real
+    weights; throughput does not."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointslot_tpu.config import DetectorConfig, SystemConfig
+    from pointslot_tpu.detect.yolo import Detector
+    from pointslot_tpu.utils.stagebench import timeit_ms
+
+    det_cfg = DetectorConfig()
+    det = Detector(input_size=det_cfg.input_size,
+                   conf=det_cfg.conf_threshold,
+                   iou=det_cfg.iou_threshold,
+                   keep_classes=det_cfg.keep_classes,
+                   width=det_cfg.network_width)
+    from pointslot_tpu.detect.yolo import letterbox
+
+    img = np.asarray(pairs[0][0])
+    boxed, _, _ = letterbox(np.stack([img] * 3, axis=-1), det.input_size)
+    x = jax.device_put(jnp.asarray(boxed[None] / 255.0, jnp.float32))
+
+    def det_fn(x):
+        boxes, scores, classes, valid = det._forward_impl(x)
+        return (jnp.sum(boxes) + jnp.sum(scores)
+                + jnp.sum(valid.astype(jnp.float32)))
+
+    detector_ms = timeit_ms(det_fn, x, n=n)
+
+    # full mode-3 loop: System with the online detector stack in-loop
+    from pointslot_tpu.slam.system import System
+
+    cfg = SystemConfig().replace(slot_mode=3)
+    cfg = cfg.replace(runtime=cfg.runtime.__class__(**{
+        **cfg.runtime.__dict__, "async_mapping": True,
+        "device_resident_tracking": True,
+    }))
+    system = System(cfg)
+    n_frames = 0
+    for i, (left, right) in enumerate(pairs * 4):
+        system.track_stereo(np.asarray(left), np.asarray(right),
+                            i * 0.1, i)
+        n_frames += 1
+    stats = system.shutdown()
+    med = max(stats.get("median_track_s", 0.0), 1e-9)
+    return {
+        "detector_device_ms": round(detector_ms, 3),
+        "mode3_fps": round(1.0 / med, 3),
+        "mode3_n_frames": n_frames,
+    }
+
+
+def _bench_gba_ms(P=256, L=8192, K=8):
+    """Global-BA solve wall time at the map cap (P = RuntimeConfig.
+    map_max_kfs = 256 keyframes, K = LoopConfig.gba_obs_per_point) —
+    the detached-thread solve the reference runs after a loop closure
+    (src/Optimizer.cc:59); ours runs on-device (loop_closing._gba_run)."""
+    import jax
+
+    from pointslot_tpu.solvers import local_ba
+
+    FX, FY, CX, CY, BF = 721.5, 721.5, 609.6, 172.9, 384.4
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    poses[:, 2, 3] = -0.6 * np.arange(P)
+    pts = rng.uniform([-15, -4, 4], [15, 4, 60], size=(L, 3)).astype(np.float32)
+    e_pose = np.repeat(np.arange(L) % (P - 3), 4) % P
+    e_pose = (e_pose + np.tile(np.arange(4), L)).astype(np.int64) % P
+    e_point = np.repeat(np.arange(L), 4)
+    T = poses[e_pose]
+    pc = np.einsum("eij,ej->ei", T[:, :3, :3], pts[e_point]) + T[:, :3, 3]
+    keep = pc[:, 2] > 0.5
+    e_pose, e_point, pc = e_pose[keep], e_point[keep], pc[keep]
+    u = FX * pc[:, 0] / pc[:, 2] + CX + rng.normal(size=len(pc)) * 0.3
+    v = FY * pc[:, 1] / pc[:, 2] + CY + rng.normal(size=len(pc)) * 0.3
+    e_obs = np.stack([u, v, u - BF / pc[:, 2]], axis=1).astype(np.float32)
+    prob, _ = local_ba.build_problem(
+        poses=poses, pose_fixed=[True] + [False] * (P - 1), points=pts,
+        e_pose=e_pose, e_point=e_point, e_obs=e_obs,
+        e_stereo=np.ones(len(e_pose), bool),
+        e_inv_sigma2=np.ones(len(e_pose), np.float32),
+        P_cap=P, L_cap=L, K=K,
+    )
+    args = dict(fx=FX, fy=FY, cx=CX, cy=CY, bf=BF)
+
+    # chained device-time protocol (utils/stagebench): block_until_ready
+    # through the remote tunnel can return with work in flight, so an
+    # unchained loop under-measures once the solve drops below the sync
+    # floor
+    import jax.numpy as jnp
+
+    from pointslot_tpu.utils.stagebench import timeit_ms
+
+    def fn(poses):
+        r = local_ba.bundle_adjust(prob._replace(poses=poses), **args)
+        return r.cost + jnp.sum(r.poses)
+
+    return timeit_ms(fn, prob.poses, n=3)
 
 
 def _provenance():
@@ -401,15 +655,35 @@ def _bench_ba_ms_per_iter(P=32, L=4096, K=8):
         P_cap=P, L_cap=L, K=K,
     )
     args = dict(fx=FX, fy=FY, cx=CX, cy=CY, bf=BF)
-    r = local_ba.bundle_adjust(prob, **args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        r = local_ba.bundle_adjust(prob, **args)
-        jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n / 15 * 1e3
+
+    # chained device-time protocol (utils/stagebench): block_until_ready
+    # through the remote tunnel can return with work in flight, so an
+    # unchained loop under-measures once the solve drops below the sync
+    # floor (observed after the r5 lane-major rework)
+    import jax.numpy as jnp
+
+    from pointslot_tpu.utils.stagebench import timeit_ms
+
+    def fn(poses):
+        r = local_ba.bundle_adjust(prob._replace(poses=poses), **args)
+        return r.cost + jnp.sum(r.poses)
+
+    return timeit_ms(fn, prob.poses, n=10) / 15
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as exc:  # noqa: BLE001 - transient tunnel errors
+        # (remote_compile connection drops) can kill a mid-run bench;
+        # one retry, then the structured outage record instead of a
+        # traceback (VERDICT r3 item 5)
+        print(f"bench attempt 1 failed ({type(exc).__name__}: {exc}); "
+              "retrying once", file=sys.stderr)
+        try:
+            main()
+        except BaseException as exc2:  # noqa: BLE001
+            print(json.dumps(_outage_record(exc2)))
+            sys.exit(2)

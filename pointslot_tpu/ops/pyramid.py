@@ -56,19 +56,21 @@ def _resize_matmul(x: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
     MXU instead. Measured equal on the calibrated device-time harness
     (both ~0.02-0.05 ms for the whole cascade — the pyramid was never the
     bottleneck once the harness's fixed tunnel cost was removed, see
-    utils/stagebench.timeit_ms) and exact to 3e-5 vs resize in f32. bf16
-    operands on accelerators (intensities <= 255 round by <= 0.5, below
-    the FAST thresholds and BRIEF noise floor); CPU (the oracle/test
-    backend) keeps f32."""
+    utils/stagebench.timeit_ms) and exact to 3e-5 vs resize in f32.
+
+    Operands stay f32 with Precision.HIGH (3-pass bf16 decomposition,
+    ~1e-7 relative error): an earlier bf16-operand cast re-quantized every
+    level of the 7-level CASCADE (<=0.5 grey per level, accumulating to a
+    few grey levels at coarse scales — near min_th_fast margins) for no
+    measured speedup, and made the accelerator path numerically different
+    from the CPU oracle backend. One code path everywhere now."""
     h_in, w_in = x.shape[-2:]
     R, C = _resize_mats(h_in, w_in, h_out, w_out)
-    dt = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
     lead = x.shape[:-2]
-    xb = x.reshape((-1, h_in, w_in)).astype(dt)
-    t = jnp.einsum("oh,bhw->bow", jnp.asarray(R, dt), xb,
-                   preferred_element_type=jnp.float32)
-    out = jnp.einsum("bow,wq->boq", t.astype(dt), jnp.asarray(C, dt),
-                     preferred_element_type=jnp.float32)
+    xb = x.reshape((-1, h_in, w_in))
+    hi = jax.lax.Precision.HIGH
+    t = jnp.einsum("oh,bhw->bow", jnp.asarray(R), xb, precision=hi)
+    out = jnp.einsum("bow,wq->boq", t, jnp.asarray(C), precision=hi)
     return out.reshape(lead + (h_out, w_out))
 
 

@@ -36,6 +36,11 @@ def main(argv=None):
     ap.add_argument("--out", default="out")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--vocab", metavar="PATH",
+                    help="ORB vocabulary for loop closure/relocalization "
+                         "(ORBvoc.bin/.bin.gz binary or DBoW2 text export "
+                         "— the file the reference loads at System.cc:79); "
+                         "default trains a small synthetic vocabulary")
     ap.add_argument("--use-flow", action="store_true",
                     help="offline optical-flow object tracking (Virtual "
                          "KITTI forwardFlow/ maps)")
@@ -98,6 +103,9 @@ def main(argv=None):
     if args.no_loop:
         cfg = cfg.replace(loop=cfg.loop.__class__(
             **{**cfg.loop.__dict__, "enabled": False}))
+    if args.vocab:
+        cfg = cfg.replace(loop=cfg.loop.__class__(
+            **{**cfg.loop.__dict__, "vocab_path": args.vocab}))
     if args.use_flow:
         cfg = cfg.replace(objects=cfg.objects.__class__(
             **{**cfg.objects.__dict__, "use_offline_flow": True}))

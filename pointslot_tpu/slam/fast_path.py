@@ -115,7 +115,17 @@ class DeviceTrackingPath:
         )
         res = self.step(left, right, T_prev, vel, *self._tables, gate=gate)
         self._last_res = res
-        n_inl = int(res.n_inliers)
+        # ONE device->host transfer for everything the light frame needs:
+        # separate np.asarray calls are separate sync roundtrips (~25 ms
+        # each through a remote tunnel; a fixed cost on any host), and
+        # they'd run while this thread HOLDS the map lock
+        import jax
+
+        pf, level, depth, valid, T_cw, velocity, n_inl = jax.device_get((
+            res.point_for_feature, res.level, res.depth, res.valid,
+            res.T_cw, res.velocity, res.n_inliers,
+        ))
+        n_inl = int(n_inl)
         if n_inl < self.cfg.tracking.min_inliers_local_map:
             # reject: host tracker re-runs this frame from the same features
             self._T_dev = None
@@ -124,21 +134,19 @@ class DeviceTrackingPath:
             return None
         # accept: light host copy — pose, bindings, depth; features stay
         # on device until a keyframe needs them
-        pf = np.asarray(res.point_for_feature)
-        bound_rows = pf[pf >= 0]
         frame = FrameRecord(
             frame_id=frame_id,
             xy=None, desc=None, angle=None,
             # level ships with the light frame: the host motion-model
             # fallback reads last_frame.level (tracking.py)
-            level=np.asarray(res.level),
-            depth=np.asarray(res.depth),
+            level=level,
+            depth=depth,
             u_right=None,
-            valid=np.asarray(res.valid),
+            valid=valid,
             point_idx=np.where(pf >= 0, self.table_pts[
                 np.clip(pf, 0, len(self.table_pts) - 1)
             ], -1),
-            T_cw=np.asarray(res.T_cw),
+            T_cw=T_cw,
         )
         self._T_dev = res.T_cw
         self._vel_dev = res.velocity
@@ -156,35 +164,36 @@ class DeviceTrackingPath:
             if votes[best] > 0:
                 tracker.ref_kf = best
         tracker.n_matches_inliers = n_inl
-        tracker.velocity = np.asarray(res.velocity)
+        tracker.velocity = velocity
         PROFILER.count("frames_tracked_fast")
         PROFILER.count("inliers_total", n_inl)
         return frame
 
     def materialize(self, frame: FrameRecord) -> FrameRecord:
         """Download the full feature arrays of the last fused step into
-        `frame` (keyframe creation / fallback needs them)."""
+        `frame` (keyframe creation / fallback needs them) — one transfer,
+        not five sync roundtrips."""
+        import jax
+
         res = self._last_res
-        frame.xy = np.asarray(res.xy)
-        frame.level = np.asarray(res.level)
-        frame.desc = np.asarray(res.desc)
-        frame.angle = np.asarray(res.angle)
-        frame.u_right = np.asarray(res.u_right)
+        (frame.xy, frame.level, frame.desc, frame.angle,
+         frame.u_right) = jax.device_get(
+            (res.xy, res.level, res.desc, res.angle, res.u_right))
         return frame
 
     def fallback_frame(self, frame_id: int) -> FrameRecord:
         """Full FrameRecord from the last fused step's features, with no
         bindings — the host tracker's input when the fast path rejects."""
+        import jax
+
         res = self._last_res
         n = res.xy.shape[0]
+        xy, level, desc, angle, depth, u_right, valid = jax.device_get(
+            (res.xy, res.level, res.desc, res.angle, res.depth,
+             res.u_right, res.valid))
         return FrameRecord(
             frame_id=frame_id,
-            xy=np.asarray(res.xy),
-            level=np.asarray(res.level),
-            desc=np.asarray(res.desc),
-            angle=np.asarray(res.angle),
-            depth=np.asarray(res.depth),
-            u_right=np.asarray(res.u_right),
-            valid=np.asarray(res.valid),
+            xy=xy, level=level, desc=desc, angle=angle,
+            depth=depth, u_right=u_right, valid=valid,
             point_idx=np.full(n, -1, np.int64),
         )

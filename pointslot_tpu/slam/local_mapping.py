@@ -97,7 +97,9 @@ class LocalMapper:
             # merge would silently pull the whole device solve into the
             # locked section (measured ~2 s/KF of tracking stall).
             result = local_ba.bundle_adjust(snap["prob"], **self._cam_args)
-            result = type(result)(*(np.asarray(x) for x in result))
+            import jax
+
+            result = type(result)(*jax.device_get(tuple(result)))
             self.ba_calls += 1
             with self.lock:
                 self._local_ba_merge(snap, result)
@@ -184,11 +186,13 @@ class LocalMapper:
             uv2p = np.zeros((n_pad, 2), np.float32)
             uv1p[: len(sel)] = snap["xy"][kf][sel]
             uv2p[: len(sel)] = snap["xy"][n][idx[sel]]
-            X, well_posed = tri.triangulate(
+            import jax
+
+            X, well_posed = jax.device_get(tri.triangulate(
                 jnp.broadcast_to(P1, (n_pad, 3, 4)),
                 jnp.broadcast_to(P2, (n_pad, 3, 4)),
                 jnp.asarray(uv1p), jnp.asarray(uv2p),
-            )
+            ))
             X = np.asarray(X, np.float64)[: len(sel)]
             ok = np.array(well_posed)[: len(sel)]  # writable host copy
             # validate: positive depth + reprojection error in both views

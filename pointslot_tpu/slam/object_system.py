@@ -224,6 +224,11 @@ class ObjectSystem:
         gate = instance_mask > 0
         gate_r = dilate_mask_left(gate, max_disparity=128)
         sf = self._frontend(left, right, gate=gate, gate_right=gate_r)
+        # one transfer for the whole feature set (per-field np.asarray is
+        # a sync roundtrip each)
+        import jax
+
+        sf = type(sf)(*jax.device_get(tuple(sf)))
         xy = np.asarray(sf.xy)
         valid = np.asarray(sf.valid)
         H, W = instance_mask.shape
@@ -472,8 +477,12 @@ class ObjectSystem:
             )
             # host materialization outside the lock (see
             # _object_local_mapping): the per-object np.asarray slicing in
-            # the locked write-back must not wait on the device solve
-            results = [np.asarray(x) for x in results]
+            # the locked write-back must not wait on the device solve.
+            # ONE transfer for the whole result stack (per-field asarray
+            # is a sync roundtrip each)
+            import jax
+
+            results = list(jax.device_get(tuple(results)))
             self.ba_calls += len(grp)
             self.ba_threads.add(threading.get_ident())
             with self._obj_lock:
@@ -594,7 +603,12 @@ class ObjectSystem:
             jnp.asarray(f_desc), jnp.asarray(f_angle), jnp.asarray(f_valid),
             jnp.asarray(pt_desc), jnp.asarray(pt_angle), jnp.asarray(pt_valid),
         )
-        binds = [np.asarray(bind_j[oi]).astype(np.int64)[: len(fsels[oi])]
+        # one transfer, then host-side slicing (per-object np.asarray is a
+        # sync roundtrip per object)
+        import jax
+
+        bind_np = np.asarray(jax.device_get(bind_j))
+        binds = [bind_np[oi].astype(np.int64)[: len(fsels[oi])]
                  for oi in range(O)]
 
         if flow is not None:
@@ -620,12 +634,11 @@ class ObjectSystem:
                 uv = flow[yi, xi]
                 pred_xy[oi, rows] = xy + uv
                 pred_ok[oi, rows] = True
-            pf_g, n_g = self._guided_batched(
+            pf_g, n_g = jax.device_get(self._guided_batched(
                 jnp.asarray(pred_xy), jnp.asarray(pred_ok),
                 jnp.asarray(pt_desc),
                 jnp.asarray(f_xy), jnp.asarray(f_desc), jnp.asarray(f_valid),
-            )
-            n_g = np.asarray(n_g)
+            ))
             for oi in range(O):
                 if int(n_g[oi]) >= 5:
                     binds[oi] = np.asarray(pf_g[oi]).astype(np.int64)[
@@ -670,14 +683,14 @@ class ObjectSystem:
         # SearchByProjection, src/ORBmatcher.cc:157: RADIUS_FORDYNAMIC=5,
         # TH_HIGH_FORDYNAMIC=130) — brute alone degrades on small objects
         # whose descriptors carry background contamination
-        pf0_j = self._proj_batched(
+        pf0_np = np.asarray(jax.device_get(self._proj_batched(
             jnp.asarray(pt_pos), jnp.asarray(pt_desc), jnp.asarray(pt_valid),
             jnp.asarray(T_pred, jnp.float32),
             jnp.asarray(f_xy), jnp.asarray(f_level), jnp.asarray(f_desc),
             jnp.asarray(f_valid),
-        )
+        )))
         for oi in range(O):
-            pf = np.asarray(pf0_j[oi])[: len(fsels[oi])]
+            pf = pf0_np[oi][: len(fsels[oi])]
             bind = binds[oi]
             add = np.nonzero((pf >= 0) & (bind < 0))[0]
             bind[add] = pf[add]
@@ -690,8 +703,8 @@ class ObjectSystem:
             return jnp.asarray(out)
         edges1 = pose_opt.PoseObs(*[padO(x) for x in edges1])
         res1 = self._solve_batched(jnp.asarray(T_pred), edges1, jnp.asarray(priors))
-        T1 = np.asarray(res1.T, np.float64)
-        inl1 = np.asarray(res1.inliers)
+        T1_f32, inl1 = jax.device_get((res1.T, res1.inliers))
+        T1 = np.asarray(T1_f32, np.float64)
         for oi in range(O):
             bind = binds[oi]
             good = np.nonzero(bind >= 0)[0][:EDGE_CAP]
@@ -705,8 +718,9 @@ class ObjectSystem:
             jnp.asarray(f_xy), jnp.asarray(f_level), jnp.asarray(f_desc),
             jnp.asarray(f_valid),
         )
+        pf_np = np.asarray(jax.device_get(pf_j))
         for oi in range(O):
-            pf = np.asarray(pf_j[oi])[: len(fsels[oi])]
+            pf = pf_np[oi][: len(fsels[oi])]
             bind = binds[oi]
             add = np.nonzero((pf >= 0) & (bind < 0))[0]
             bind[add] = pf[add]
@@ -715,8 +729,8 @@ class ObjectSystem:
         edges2 = pose_opt.PoseObs(*[padO(x) for x in edges2])
         res2 = self._solve_batched(jnp.asarray(T1, jnp.float32), edges2,
                                    jnp.asarray(priors))
-        T2 = np.asarray(res2.T, np.float64)
-        inl2 = np.asarray(res2.inliers)
+        T2_f32, inl2 = jax.device_get((res2.T, res2.inliers))
+        T2 = np.asarray(T2_f32, np.float64)
 
         failed = list(pre_failed)
         for oi, (det, fsel, track) in enumerate(items):

@@ -421,6 +421,12 @@ class System:
         return frame
 
     def _build_frame_record(self, sf, gate, frame_id) -> FrameRecord:
+        # ONE device->host transfer for the whole frame: field-by-field
+        # np.asarray would be 7 sync roundtrips (a fixed per-sync cost on
+        # any host; ~25 ms each through a remote tunnel)
+        import jax
+
+        sf = type(sf)(*jax.device_get(tuple(sf)))
         xy = np.asarray(sf.xy)
         u_right = np.asarray(sf.u_right)
         c = self.cfg.camera

@@ -293,8 +293,11 @@ class CameraTracker:
         result = pose_opt.pose_optimize(
             jnp.asarray(T_init, jnp.float32), edges, **self._cam_args
         )
-        frame.T_cw = np.asarray(result.T)
-        inl = np.asarray(result.inliers)[: len(fsel)]
+        import jax
+
+        T_cw, inl = jax.device_get((result.T, result.inliers))
+        frame.T_cw = np.asarray(T_cw)
+        inl = inl[: len(fsel)]
         bind[fsel[~inl]] = -1
         frame.point_idx = bind
         return int(inl.sum())

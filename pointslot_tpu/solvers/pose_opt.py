@@ -195,33 +195,58 @@ def pose_optimize(
         """One LM stage. `boundary` = (cost, H, b) already evaluated at T
         with this stage's active mask (the stage-boundary pass doubles as
         the first iteration's linearization, so accepted candidates are
-        linearized exactly once)."""
+        linearized exactly once).
 
-        def iter_body(_, carry):
-            T_best, cost_best, H, b, lam = carry
+        Early exit: the 4x10 sequential LM iterations are the
+        latency-bound half of the per-frame hot path, and stages 2-4
+        start from the previous stage's already-converged pose — so the
+        loop is a while_loop that stops once an ACCEPTED step improves
+        cost by < 1e-4 relative or the step itself is negligible (g2o's
+        own LM terminates on the same criteria). Shapes stay static; the
+        saved iterations are real wall-clock because the loop is
+        sequential. Under vmap (batched objects) the loop runs until
+        every lane converges."""
+
+        def iter_cond(carry):
+            done, it = carry[-1], carry[-2]
+            return (it < iters_per_stage) & jnp.logical_not(done)
+
+        def iter_body(carry):
+            T_best, cost_best, H, b, chi2, behind, lam, it, done = carry
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
             # NOTE: jnp.linalg.solve (LU custom call, ~6 us) beats an
             # unrolled 6x6 Cholesky here — the scalar graph blew TPU
             # compile time to minutes AND ran slower (measured r4).
             dx = -jnp.linalg.solve(Hd, b)
             T_cand = se3.se3_retract(T_best, dx)
-            cost_cand, H_cand, b_cand, _, _ = full_pass(
+            cost_cand, H_cand, b_cand, chi2_cand, behind_cand = full_pass(
                 T_cand, active, use_huber
             )
             accept = cost_cand < cost_best
+            improve = cost_best - cost_cand
+            done = (accept & (improve <= 1e-4 * cost_best)) | (
+                jnp.sum(dx * dx) < 1e-12
+            )
             T_best = jnp.where(accept, T_cand, T_best)
             cost_best = jnp.where(accept, cost_cand, cost_best)
             H = jnp.where(accept, H_cand, H)
             b = jnp.where(accept, b_cand, b)
+            chi2 = jnp.where(accept, chi2_cand, chi2)
+            behind = jnp.where(accept, behind_cand, behind)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return (T_best, cost_best, H, b, lam)
+            return (T_best, cost_best, H, b, chi2, behind, lam, it + 1, done)
 
-        cost0, H0, b0 = boundary
-        T, _, _, _, _ = jax.lax.fori_loop(
-            0, iters_per_stage, iter_body,
-            (T, cost0, H0, b0, jnp.float32(1e-4)),
+        cost0, H0, b0, chi2_0, behind_0 = boundary
+        out = jax.lax.while_loop(
+            iter_cond, iter_body,
+            (T, cost0, H0, b0, chi2_0, behind_0, jnp.float32(1e-4),
+             jnp.int32(0), jnp.asarray(False)),
         )
-        return T
+        # chi2/behind ride the carry: they are mask-independent per-edge
+        # quantities, so the last ACCEPTED pass's values are exactly what a
+        # post-stage re-evaluation at T_best would recompute — the third
+        # full_pass per stage is gone.
+        return out[0], out[4], out[5]
 
     # staged solve with chi2 re-gating (reference does 4 stages, Huber on the
     # first two, marking outliers between stages and re-admitting them if
@@ -236,9 +261,8 @@ def pose_optimize(
         if s > 0:
             gate = jnp.where(edges.is_stereo, chi2_stereo, chi2_mono)
             active = edges.valid & (chi2 <= gate) & ~behind
-        cost0, H0, b0, _, _ = full_pass(T, active, use_huber)
-        T = lm_stage(T, active, use_huber, (cost0, H0, b0))
-        _, _, _, chi2, behind = full_pass(T, active, use_huber)
+        boundary = full_pass(T, active, use_huber)
+        T, chi2, behind = lm_stage(T, active, use_huber, boundary)
     gate = jnp.where(edges.is_stereo, chi2_stereo, chi2_mono)
     active = edges.valid & (chi2 <= gate) & ~behind
     return PoseOptResult(

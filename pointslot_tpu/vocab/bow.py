@@ -176,7 +176,9 @@ def load_vocab(path: str, as_tree: Optional[bool] = None):
     return load_orb_vocab_text(path, as_tree=as_tree)
 
 
-def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None):
+def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None,
+                          strict: bool = False,
+                          expect_sha256: Optional[str] = None):
     """Load a DBoW2 binary vocabulary (ORBvoc.bin — the format the reference
     loads at startup, src/System.cc:79 via TemplatedVocabulary::
     loadFromBinaryFile, Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1343).
@@ -185,7 +187,15 @@ def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None):
     i32 scoring, i32 weighting), then nb_nodes fixed-size records of
     size_node bytes: i32 parent | 32 descriptor bytes | f32 weight |
     u8 is_leaf. Only the leaves (words) are kept — the flat MXU lookup
-    replaces the k^L tree descent. Accepts gzip-compressed files (.gz)."""
+    replaces the k^L tree descent. Accepts gzip-compressed files (.gz).
+
+    ``strict`` additionally validates the tree's structural invariants
+    (parent indices in range and topologically ordered, branching factor
+    vs the header's k, finite non-negative weights, leaf count <= k^L) so
+    a record-layout mismatch on a real ORBvoc.bin fails LOUDLY at load
+    time instead of silently mis-parsing (data-day readiness: a wrong
+    byte offset here would otherwise just degrade loop recall).
+    ``expect_sha256`` pins the exact file (provenance check)."""
     if path.endswith(".gz"):
         import gzip
 
@@ -194,6 +204,13 @@ def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None):
     else:
         with open(path, "rb") as f:
             raw = f.read()
+    if expect_sha256 is not None:
+        import hashlib
+
+        got = hashlib.sha256(raw).hexdigest()
+        if got != expect_sha256.lower():
+            raise ValueError(
+                f"{path}: sha256 {got} != expected {expect_sha256}")
     if len(raw) < 24:
         raise ValueError(f"{path}: truncated vocabulary header")
     nb_nodes, size_node = np.frombuffer(raw[:8], np.uint32)
@@ -210,6 +227,8 @@ def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None):
     if not is_leaf.any():
         raise ValueError(f"{path}: vocabulary has no leaf words")
     n_words = int(is_leaf.sum())
+    if strict:
+        _validate_vocab_structure(path, raw, parents, weight, is_leaf)
     if as_tree or (as_tree is None and n_words > TREE_WORD_THRESHOLD):
         from pointslot_tpu.vocab.tree import TreeVocabulary
 
@@ -220,6 +239,52 @@ def load_orb_vocab_binary(path: str, as_tree: Optional[bool] = None):
         )
     words = np.ascontiguousarray(desc[is_leaf]).view(np.uint32)
     return BinaryVocabulary(words, weight[is_leaf].astype(np.float32))
+
+
+def _validate_vocab_structure(path, raw, parents, weight, is_leaf):
+    """Strict-parse invariants of the DBoW2 node-record layout (see
+    load_orb_vocab_binary). Raises ValueError with a precise diagnosis —
+    the failure mode to catch is a plausible-looking but wrong byte
+    offset, which corrupts every field at once."""
+    n = len(parents)   # records = nodes 1..n; node 0 (the root) implicit
+    k, L = (int(x) for x in np.frombuffer(raw[8:16], np.int32))
+    problems = []
+    if not (2 <= k <= 64):
+        problems.append(f"branching factor k={k} implausible")
+    if not (1 <= L <= 12):
+        problems.append(f"depth L={L} implausible")
+    # record i is node i+1; its parent FIELD is a node id (0 = root) that
+    # must precede it — DBoW2 serializes parents before children
+    node_ids = np.arange(1, n + 1)
+    bad_parent = (parents < 0) | (parents >= node_ids)
+    if bad_parent.any():
+        i = int(np.argmax(bad_parent))
+        problems.append(
+            f"node {i + 1} parent {parents[i]} out of topological order")
+    if not np.isfinite(weight).all():
+        problems.append("non-finite weights")
+    elif (weight < 0).any():
+        problems.append(f"{int((weight < 0).sum())} negative weights")
+    # parents must be internal nodes (parent node id p>0 -> record p-1)
+    rec_parents = parents[parents > 0] - 1
+    if len(rec_parents):
+        leaf_parents = is_leaf[np.clip(rec_parents, 0, n - 1)]
+        if leaf_parents.any():
+            bad = parents[parents > 0][np.argmax(leaf_parents)]
+            problems.append(f"a node's parent {bad} is a leaf")
+    counts = np.bincount(np.clip(parents, 0, n), minlength=n + 1)
+    if counts.max() > k:
+        problems.append(
+            f"a node has {int(counts.max())} children (> k={k})")
+    n_words = int(is_leaf.sum())
+    if n_words > k ** L:
+        problems.append(f"{n_words} leaves > k^L = {k ** L}")
+    if problems:
+        raise ValueError(
+            f"{path}: strict vocabulary parse failed — "
+            + "; ".join(problems)
+            + f" (header: n={n}, k={k}, L={L})"
+        )
 
 
 def save_orb_vocab_binary(path: str, parents: np.ndarray, desc: np.ndarray,

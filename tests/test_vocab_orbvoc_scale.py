@@ -112,27 +112,41 @@ def test_loop_closure_e2e_through_1m_vocab(voc1m, tmp_path):
     path = str(tmp_path / "voc1m.bin")
     voc1m.save_binary(path)
 
-    cfg = SystemConfig()
-    cfg = cfg.replace(loop=cfg.loop.__class__(**{
-        **cfg.loop.__dict__, "vocab_path": path, "vocab_as_tree": True}))
     scene = make_loop_scene(n_frames=48, seed=41, radius=7.0)
     renderer = SyntheticRenderer(scene)
-    system = System(cfg)
-    for i in range(scene.n_frames):
-        left, right, _ = renderer.render(i)
-        system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)
-    assert system.tracker.state == TrackingState.OK
-    assert system.loop_closer.loops_closed >= 1, (
-        "no loop closure through the 1M-leaf vocabulary"
-    )
-    system.loop_closer.wait_for_gba()
-    traj = system.camera_trajectory()
-    f0 = traj[0][0]
-    A = scene.poses_world[f0]
-    errs = [
-        np.linalg.norm((A @ np.linalg.inv(T))[:3, 3]
-                       - scene.poses_world[f][:3, 3])
-        for f, T, _ in traj if f < scene.n_frames
-    ]
-    ate = float(np.sqrt(np.mean(np.square(errs))))
-    assert ate < 0.25, f"ATE after loop closure {ate:.3f} m"
+
+    def run(vocab_path):
+        cfg = SystemConfig()
+        if vocab_path:
+            cfg = cfg.replace(loop=cfg.loop.__class__(**{
+                **cfg.loop.__dict__, "vocab_path": vocab_path,
+                "vocab_as_tree": True}))
+        system = System(cfg)
+        for i in range(scene.n_frames):
+            left, right, _ = renderer.render(i)
+            system.track_stereo(left, right, timestamp=i * 0.1, frame_id=i)
+        assert system.tracker.state == TrackingState.OK
+        system.loop_closer.wait_for_gba()
+        loops = system.loop_closer.loops_closed
+        traj = system.camera_trajectory()
+        f0 = traj[0][0]
+        A = scene.poses_world[f0]
+        errs = [
+            np.linalg.norm((A @ np.linalg.inv(T))[:3, 3]
+                           - scene.poses_world[f][:3, 3])
+            for f, T, _ in traj if f < scene.n_frames
+        ]
+        system.shutdown()
+        return loops, float(np.sqrt(np.mean(np.square(errs))))
+
+    loops_1m, ate_1m = run(path)
+    assert loops_1m >= 1, "no loop closure through the 1M-leaf vocabulary"
+    # RELATIVE bound vs the stronger in-repo baseline (the trained
+    # default vocabulary on the same sequence), not an absolute magic
+    # number: the 1M synthesized tree must close the same loop and land
+    # within a modest factor of the default-vocab accuracy.
+    loops_def, ate_def = run(None)
+    assert loops_def >= 1, "baseline (default vocab) did not close the loop"
+    print(f"ATE 1M-vocab {ate_1m:.3f} vs default-vocab {ate_def:.3f} "
+          f"(margin {1.5 * ate_def + 0.02 - ate_1m:.3f})")
+    assert ate_1m <= 1.5 * ate_def + 0.02, (ate_1m, ate_def)
