@@ -91,31 +91,50 @@ class StereoFrontend:
     def batch(self, lefts, rights) -> StereoFrame:
         """Process a BATCH of stereo pairs in one dispatch — the single-chip
         data-parallel path for offline/throughput runs (SURVEY §2d DP; the
-        multi-device variant shards the same vmap over the dp mesh axis,
-        parallel/step.py). Inputs (B, H, W); every output gains a leading
-        batch axis."""
+        multi-device variant shards the batch over the dp mesh axis,
+        batch_sharded). Inputs (B, H, W); every output gains a leading
+        batch axis.
+
+        Implementation: lax.scan of the SINGLE-PAIR program over the
+        batch. Measured on chip (r5): scan 1.98 ms/frame vs single-pair
+        1.96 vs flat-2B layout 2.20 vs 4 unrolled chains 2.12 — running
+        several pair-chains co-scheduled in one program inflates peak
+        liveness (VMEM spills), while scan keeps exactly one pair's
+        working set live and compiles the body once. Cross-DEVICE
+        parallelism comes from sharding the batch axis, not from
+        co-scheduling pairs on one core."""
         if not hasattr(self, "_run_batch"):
-            self._run_batch = jax.jit(self._run_batch_impl)
+            self._run_batch = jax.jit(self._run_batch_scan_impl)
         return StereoFrame(*self._run_batch(jnp.asarray(lefts), jnp.asarray(rights)))
 
     def batch_sharded(self, lefts, rights, mesh) -> StereoFrame:
         """Mesh-sharded batched frontend: the batch axis is partitioned over
-        the mesh's first axis, each device extracting its shard of frames —
+        the mesh's first axis, each device scanning its shard of frames —
         the load-bearing DP path of `run.py --dp` (SURVEY §2d). Batch size
         must divide by the mesh axis (the runner pads)."""
-        from jax.sharding import NamedSharding
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         if getattr(self, "_run_batch_sharded_mesh", None) is not mesh:
             axis = mesh.axis_names[0]
-            sh = NamedSharding(mesh, P(axis))
-            self._run_batch_sharded = jax.jit(
-                self._run_batch_impl, in_shardings=(sh, sh)
-            )
+            spec = P(axis)
+            self._run_batch_sharded = jax.jit(shard_map(
+                self._run_batch_scan_impl, mesh=mesh,
+                in_specs=(spec, spec), out_specs=spec,
+                check_vma=False,
+            ))
             self._run_batch_sharded_mesh = mesh
         return StereoFrame(
             *self._run_batch_sharded(jnp.asarray(lefts), jnp.asarray(rights))
         )
+
+    def _run_batch_scan_impl(self, lefts, rights):
+        def body(carry, xs):
+            left, right = xs
+            return carry, self._frontend(left, right, None)
+
+        _, outs = jax.lax.scan(body, jnp.int32(0), (lefts, rights))
+        return outs
 
     # ------------------------------------------------------------------
     def _image_stage(self, imgs):
