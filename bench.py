@@ -202,17 +202,30 @@ def main():
 
     eye = jnp.eye(4, dtype=jnp.float32)
 
-    def run_loop(n_iters, with_objects):
-        # two dispatches per mode-4 frame (camera step; object phase)
-        # measured FASTER than the one-dispatch FusedFrameStep (187 vs
-        # 172 fps): the split lets frame i+1's enqueue/DMA overlap frame
-        # i's object compute
+    def run_loop(n_iters, with_objects, topology="two"):
+        """Streaming loop, one frame per host iteration.
+
+        topology 'two': camera step + object phase as separate dispatches
+        (frame i+1's enqueue overlaps frame i's object compute).
+        topology 'one': the single-dispatch FusedFrameStep. Which wins
+        depends on where the loop is bound: with r4's ~5.3 ms device
+        frame, 'two' won (more overlap); after the r5 early-exit LM cut
+        the device frame to ~3 ms, the loop turned HOST-ENQUEUE-bound
+        through the tunnel (~2.4 ms/dispatch) and halving the dispatch
+        count wins. The bench measures both and keeps the better."""
         T, vel = eye, eye
         oTp = jnp.asarray(oT)
         ovel = jnp.tile(eye, (oTp.shape[0], 1, 1))
         r = None
         for i in range(n_iters):
             left, right = pairs[1 + i % (len(pairs) - 1)]
+            if topology == "one" and with_objects:
+                r, oTp, ovel, n_inl = full(
+                    left, right, T, vel, pos, dsc, lvl, val,
+                    opos, odesc, ovalid, oTp, ovel,
+                )
+                T, vel = r.T_cw, r.velocity
+                continue
             r = step(left, right, T, vel, pos, dsc, lvl, val)
             T, vel = r.T_cw, r.velocity
             if with_objects:
@@ -223,17 +236,46 @@ def main():
         jax.block_until_ready((T, oTp) if with_objects else T)
         return r
 
-    # warm-up / compile both paths
-    run_loop(2, True)
-    run_loop(2, False)
+    S_CHUNK = 4
 
-    def timed(n_iters, with_objects):
+    def run_loop_chunked(n_chunks):
+        """Throughput configuration: lax.scan of S_CHUNK full mode-4
+        frames per dispatch (FusedFrameStep.multi) — 1/S the enqueue
+        cost at S-1 frames of latency."""
+        T, vel = eye, eye
+        oTp = jnp.asarray(oT)
+        ovel = jnp.tile(eye, (oTp.shape[0], 1, 1))
+        ls = jnp.stack([pairs[1 + i % (len(pairs) - 1)][0]
+                        for i in range(S_CHUNK)])
+        rs = jnp.stack([pairs[1 + i % (len(pairs) - 1)][1]
+                        for i in range(S_CHUNK)])
+        for _ in range(n_chunks):
+            (T, vel, oTp, ovel), _ys = full.multi(
+                ls, rs, T, vel, pos, dsc, lvl, val,
+                opos, odesc, ovalid, oTp, ovel,
+            )
+        jax.block_until_ready((T, oTp))
+
+    # warm-up / compile all paths
+    run_loop(2, True)
+    run_loop(2, True, topology="one")
+    run_loop(2, False)
+    run_loop_chunked(2)
+
+    def timed(n_iters, with_objects, topology="two"):
         t0 = time.perf_counter()
-        run_loop(n_iters, with_objects)
+        run_loop(n_iters, with_objects, topology)
         return n_iters / (time.perf_counter() - t0)
 
     n_iters = 30
-    fps_mode4 = timed(n_iters, True)
+    fps_mode4_two = timed(n_iters, True)
+    fps_mode4_one = timed(n_iters, True, topology="one")
+    fps_mode4 = max(fps_mode4_two, fps_mode4_one)
+    mode4_topology = "one" if fps_mode4_one >= fps_mode4_two else "two"
+    t0 = time.perf_counter()
+    run_loop_chunked(n_iters // S_CHUNK)
+    fps_mode4_chunked = (n_iters // S_CHUNK) * S_CHUNK / (
+        time.perf_counter() - t0)
     fps_mode0 = timed(n_iters, False)
 
     # frontend-only (round-1 metric, for the optimization trail)
@@ -335,7 +377,14 @@ def main():
     try:
         extra.update(_bench_full_system())
     except Exception as e:   # noqa: BLE001
-        extra["error_full_system"] = f"{type(e).__name__}: {e}"
+        import traceback
+
+        tb = traceback.extract_tb(e.__traceback__)
+        where = " <- ".join(
+            f"{f.name}@{f.filename.rsplit('/', 1)[-1]}:{f.lineno}"
+            for f in tb[-4:]
+        )
+        extra["error_full_system"] = f"{type(e).__name__}: {e} [{where}]"
 
     print(json.dumps({
         "metric": "e2e_mode4_fps",
@@ -345,6 +394,10 @@ def main():
     }))
     print(json.dumps({
         "e2e_mode0_fps": round(fps_mode0, 3),
+        "e2e_mode4_topology": mode4_topology,
+        "e2e_mode4_fps_one_dispatch": round(fps_mode4_one, 3),
+        "e2e_mode4_fps_two_dispatch": round(fps_mode4_two, 3),
+        "e2e_mode4_fps_chunked4": round(fps_mode4_chunked, 3),
         "frontend_fps": round(fps_fe, 3),
         "frontend_batched_fps": round(fps_fe_batched, 3),
         "frontend_device_ms": round(fe_dev_ms, 3),
@@ -386,6 +439,16 @@ def _bench_full_system(n_frames=80):
     frames, _ = run_mod._synthetic_frames(_Args(), cfg)
     frames = list(frames)   # pre-render: exclude host PNG synthesis, as
     #                         the reference excludes imread from TrackStereo
+
+    # WARM-UP pass: a fresh System on the first half of the sequence so
+    # the measured run reports steady state — adaptive shape buckets
+    # (object tables, BA windows) otherwise compile mid-measurement,
+    # each costing seconds through the tunnel
+    warm = System(cfg)
+    for frame_id, ts, left, right, dets, inst, flow in frames[: n_frames // 2]:
+        warm.track_stereo(left, right, ts, frame_id, detections=dets,
+                          instance_mask=inst, flow=flow)
+    warm.shutdown()
 
     system = System(cfg)
 
@@ -435,6 +498,11 @@ def _bench_full_system(n_frames=80):
     prof = stats.get("profile", {}).get("stages", {})
     if "mapping" in prof:
         out["system_mapping_ms_per_kf"] = round(prof["mapping"]["mean_ms"], 3)
+    out["system_stage_ms"] = {
+        k: {"mean": round(v["mean_ms"], 1), "n": v["n"],
+            "total_s": round(v["total_s"], 2)}
+        for k, v in sorted(prof.items(), key=lambda kv: -kv[1]["total_s"])
+    }
     return out
 
 

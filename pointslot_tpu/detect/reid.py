@@ -68,7 +68,14 @@ class ReIDEmbedder:
         return p if os.path.isfile(p) else None
 
     def __call__(self, image: np.ndarray, bboxes: np.ndarray) -> np.ndarray:
-        """image (H, W) or (H, W, 3); bboxes (N, 4) xywh -> (N, D) features."""
+        """image (H, W) or (H, W, 3); bboxes (N, 4) xywh -> (N, D) features.
+
+        Crop resizing happens on the HOST (PIL): the previous per-crop
+        jax.image.resize was one device dispatch + sync roundtrip per
+        crop AND a fresh compile per unique crop geometry — the device
+        sees exactly one fixed-shape forward per frame now."""
+        from PIL import Image
+
         if image.ndim == 3:
             image = image.mean(axis=-1)
         H, W = image.shape
@@ -80,9 +87,9 @@ class ReIDEmbedder:
             y0 = int(np.clip(y, 0, H - 2))
             x1 = int(np.clip(x + w, x0 + 1, W))
             y1 = int(np.clip(y + h, y0 + 1, H))
-            crop = image[y0:y1, x0:x1].astype(np.float32) / 255.0
+            crop = Image.fromarray(image[y0:y1, x0:x1].astype(np.float32))
             crops[i, :, :, 0] = np.asarray(
-                jax.image.resize(jnp.asarray(crop), (CROP_H, CROP_W), "bilinear")
-            )
+                crop.resize((CROP_W, CROP_H), Image.BILINEAR),
+                np.float32) / 255.0
         feats = np.asarray(self._forward(jnp.asarray(crops)))
         return feats[: len(bboxes)]

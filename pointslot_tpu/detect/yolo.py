@@ -310,11 +310,9 @@ class Detector:
             img = np.stack([img] * 3, axis=-1)
         boxed, r, (left, top) = letterbox(img, self.input_size)
         x = jnp.asarray(boxed[None] / 255.0, jnp.float32)
-        boxes, scores, classes, valid = self._forward(x)
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
-        classes = np.asarray(classes)
-        valid = np.asarray(valid)
+        # one device->host transfer (field-by-field np.asarray is a sync
+        # roundtrip each)
+        boxes, scores, classes, valid = jax.device_get(self._forward(x))
         out = []
         for b, s, c, v in zip(boxes, scores, classes, valid):
             if not v or int(c) not in self.keep_classes:

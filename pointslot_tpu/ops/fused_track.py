@@ -306,3 +306,54 @@ class FusedFrameStep:
         )
         n = len(FusedStepResult._fields)
         return FusedStepResult(*out[:n]), out[n], out[n + 1], out[n + 2]
+
+    # ------------------------------------------------------------------
+    def _multi_impl(self, lefts, rights, T_prev, velocity,
+                    map_pos, map_desc, map_level, map_valid,
+                    obj_pos, obj_desc, obj_valid, T_obj, vel_obj):
+        """lax.scan the full mode-4 frame over S consecutive frames —
+        ONE dispatch per chunk, poses/velocities chained in-program. The
+        dispatch-rate amortization: once the per-frame device time drops
+        below ~2x the host enqueue cost, a streaming loop becomes
+        ENQUEUE-bound; chunking S frames divides that cost by S (at S-1
+        frames of added latency — a throughput configuration, the
+        streaming per-frame path stays `.step`/`.phase` or __call__)."""
+        def body(carry, xs):
+            T, vel, To, vo = carry
+            left, right = xs
+            out = self._impl(left, right, T, vel,
+                             map_pos, map_desc, map_level, map_valid,
+                             obj_pos, obj_desc, obj_valid, To, vo)
+            n = len(FusedStepResult._fields)
+            res = FusedStepResult(*out[:n])
+            carry = (res.T_cw, res.velocity, out[n], out[n + 1])
+            return carry, (res.T_cw, res.n_inliers, out[n + 2])
+
+        carry, ys = jax.lax.scan(body, (T_prev, velocity, T_obj, vel_obj),
+                                 (lefts, rights))
+        return carry, ys
+
+    def multi(self, lefts, rights, T_prev, velocity,
+              map_pos, map_desc, map_level, map_valid,
+              obj_pos, obj_desc, obj_valid, T_obj, vel_obj=None):
+        """Chunked mode-4 tracking: lefts/rights (S, H, W). Returns
+        ((T_cw', velocity', T_obj', vel_obj'), (T_cw per frame,
+        n_inliers per frame, obj_n_inliers per frame)) — the carry chains
+        into the next chunk on device."""
+        if vel_obj is None:
+            vel_obj = jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                               (np.asarray(obj_pos).shape[0], 1, 1))
+        if not hasattr(self, "_run_multi"):
+            self._run_multi = jax.jit(self._multi_impl)
+        return self._run_multi(
+            jnp.asarray(lefts), jnp.asarray(rights),
+            jnp.asarray(T_prev, jnp.float32),
+            jnp.asarray(velocity, jnp.float32),
+            jnp.asarray(map_pos, jnp.float32),
+            jnp.asarray(map_desc, jnp.uint32),
+            jnp.asarray(map_level, jnp.int32), jnp.asarray(map_valid, bool),
+            jnp.asarray(obj_pos, jnp.float32),
+            jnp.asarray(obj_desc, jnp.uint32), jnp.asarray(obj_valid, bool),
+            jnp.asarray(T_obj, jnp.float32),
+            jnp.asarray(vel_obj, jnp.float32),
+        )

@@ -56,7 +56,7 @@ class LocalMapper:
         self.lock = contextlib.nullcontext()
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf: int):
+    def process_keyframe(self, kf: int, skip_ba: bool = False):
         """Every device-compute stage (triangulation matching, fuse
         projection, the BA solve) runs with the map lock RELEASED: the
         lock covers only cheap array snapshots and staleness-guarded
@@ -64,7 +64,11 @@ class LocalMapper:
         in-lock device call here would stall it for the call's duration —
         multi-seconds when a background GBA solve contends for the chip
         (the reference's finer-grained Map mutexes have the same effect,
-        src/LocalMapping.cc:169-263)."""
+        src/LocalMapping.cc:169-263).
+
+        ``skip_ba``: drop the windowed BA for this keyframe (the caller
+        saw more keyframes queued — reference InterruptBA semantics,
+        src/LocalMapping.cc:219)."""
         self._kf_counter += 1
         m = self.map
         with self.lock:
@@ -89,7 +93,8 @@ class LocalMapper:
                 self._fuse_merge(fuse_snap, pf)
 
         with self.lock:
-            snap = self._local_ba_snapshot(kf) if m.n_keyframes() > 2 else None
+            snap = (self._local_ba_snapshot(kf)
+                    if m.n_keyframes() > 2 and not skip_ba else None)
         if snap is not None:
             # the expensive LM solve holds NO lock — tracking proceeds.
             # JAX dispatch is async: materialize the result to HOST arrays

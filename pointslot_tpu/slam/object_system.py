@@ -194,7 +194,11 @@ class ObjectSystem:
         if not dets or instance_mask is None:
             return
 
-        feats = self._extract_object_features(left, right, instance_mask, dets)
+        from pointslot_tpu.utils.profiling import PROFILER
+
+        with PROFILER.timer("obj_extract"):
+            feats = self._extract_object_features(
+                left, right, instance_mask, dets)
         T_cw = frame.T_cw.astype(np.float64)
 
         with self._obj_lock:
@@ -207,15 +211,17 @@ class ObjectSystem:
                 else:
                     to_track.append((det, fsel, track))
 
-            failed = self._track_objects_batched(to_track, feats, T_cw,
-                                                 timestamp, flow=flow)
+            with PROFILER.timer("obj_track"):
+                failed = self._track_objects_batched(to_track, feats, T_cw,
+                                                     timestamp, flow=flow)
             for det, fsel, track in failed:
                 missing_t = timestamp - track.last_seen_time
                 if missing_t > self.cfg.objects.max_missing_dt:
                     # re-init the object from scratch (MapObjectReInit)
                     self._reinit(track, det, feats, fsel, T_cw, timestamp)
-            for det, fsel in to_init:
-                self._try_init(det, feats, fsel, T_cw, timestamp)
+            with PROFILER.timer("obj_init"):
+                for det, fsel in to_init:
+                    self._try_init(det, feats, fsel, T_cw, timestamp)
 
     # ------------------------------------------------------------------
     def _extract_object_features(self, left, right, instance_mask, dets):

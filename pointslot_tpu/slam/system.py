@@ -97,6 +97,7 @@ class System:
         self.local_mapper.lock = self.map_lock
         self._mapping_queue = _queue.Queue()
         self._mapping_thread = None
+        self._ba_skips = 0   # consecutive InterruptBA skips (capped at 2)
         if self.cfg.runtime.pipeline_stages:
             from pointslot_tpu.parallel.pipeline import PipelineMapping
 
@@ -177,9 +178,26 @@ class System:
         # the mapper takes map_lock per phase and runs its BA solve
         # lock-free (the reference's LocalBundleAdjustment takes the map
         # mutex only to apply results); loop closing locks for the whole
-        # event like the reference's CorrectLoop under mMutexMapUpdate
+        # event like the reference's CorrectLoop under mMutexMapUpdate.
+        # When ANOTHER keyframe is already queued, the windowed BA is
+        # skipped for this one — the reference's InterruptBA /
+        # CheckNewKeyFrames gate (src/LocalMapping.cc:219, mbAbortBA):
+        # under keyframe bursts the mapper must drain the queue, not run
+        # a multi-10ms solve per KF while tracking queues behind it on
+        # the same chip. A later KF's BA covers the same covisibility
+        # window; to bound starvation when the queue NEVER empties, at
+        # most two consecutive keyframes skip (every 3rd always solves).
+        # gate on a DEEP backlog (>= 2 queued), not a single pending item:
+        # one-deep queues are the normal async steady state and skipping
+        # there measurably diverges the map from the sync schedule
+        pending = (
+            self._mapping_thread is not None
+            and self._mapping_queue.qsize() >= 2
+        )
+        skip = pending and self._ba_skips < 2
+        self._ba_skips = self._ba_skips + 1 if skip else 0
         with self.profiler.timer("mapping"):
-            self.local_mapper.process_keyframe(kf)
+            self.local_mapper.process_keyframe(kf, skip_ba=skip)
             if self.loop_closer is not None:
                 with self.map_lock:
                     self.loop_closer.on_keyframe(kf)
@@ -370,9 +388,19 @@ class System:
         )
         if fast_ok:
             with self.profiler.timer("tracking"), self.map_lock:
-                frame = self._fast.track(self.tracker, left, right,
-                                         frame_id, gate=gate)
-                if frame is not None:
+                # re-check under the lock: a loop closure can land between
+                # the lock-free ready() probe and here, dropping the
+                # velocity model (_on_loop_closed) — observed as a
+                # jnp.asarray(None) crash in a full-System bench run
+                if not self._fast.ready(self.tracker):
+                    fast_ok = False
+                    frame = None
+                else:
+                    frame = self._fast.track(self.tracker, left, right,
+                                             frame_id, gate=gate)
+                if not fast_ok:
+                    pass
+                elif frame is not None:
                     self._fast_frames += 1
                     if (
                         self._fast_frames
@@ -380,8 +408,9 @@ class System:
                     ):
                         self._fast.refresh(self.map, self.tracker.ref_kf)
                     if self.tracker._need_new_keyframe(frame):
-                        self._fast.materialize(frame)
-                        self.tracker._create_keyframe(frame)
+                        with self.profiler.timer("kf_create"):
+                            self._fast.materialize(frame)
+                            self.tracker._create_keyframe(frame)
                     self.tracker.commit_frame(frame)
                     if self._object_system is not None:
                         # the object pipeline reads the camera frame's
