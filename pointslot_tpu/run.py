@@ -82,6 +82,11 @@ def main(argv=None):
                     help="save a keypoint/box/cuboid overlay PNG every N "
                          "frames plus a final top-down map (headless "
                          "counterpart of the reference's Pangolin viewer)")
+    ap.add_argument("--live", type=int, default=0, metavar="PORT",
+                    help="serve a LIVE view at http://host:PORT/ while "
+                         "running (MJPEG overlay stream + top-down map; "
+                         "the reference's Viewer thread, src/Viewer.cc:62, "
+                         "as a browser page instead of a Pangolin window)")
     args = ap.parse_args(argv)
 
     from pointslot_tpu.utils.platform import force_platform
@@ -142,6 +147,13 @@ def main(argv=None):
             ap.error("--dp requires mode 0 (detection gates are per-frame)")
         frames = _dp_batched_frames(frames, args.dp, system)
 
+    live = None
+    if args.live:
+        from pointslot_tpu.viz.live import LiveViewer
+
+        live = LiveViewer(port=args.live)
+        print(f"live view: http://localhost:{live.port}/", file=sys.stderr)
+
     n = 0
     t0 = time.perf_counter()
     for frame_id, ts, left, right, dets, inst, flow, *pre in frames:
@@ -151,10 +163,21 @@ def main(argv=None):
                                     precomputed=pre[0] if pre else None)
         if args.viz and frame_id % args.viz == 0:
             _save_overlay(args.out, frame_id, left, frame, dets, system, cfg)
+        if live is not None:
+            live.push_frame(_render_overlay(frame_id, left, frame, dets,
+                                            system, cfg))
+            if frame_id % 20 == 0:
+                from pointslot_tpu.viz.render import draw_map_topdown
+
+                live.push_map(draw_map_topdown(system))
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
     wall = time.perf_counter() - t0
+    if live is not None:
+        from pointslot_tpu.viz.render import draw_map_topdown
+
+        live.push_map(draw_map_topdown(system))
     if args.viz:
         from pointslot_tpu.viz.render import draw_map_topdown, save_png
 
@@ -227,16 +250,12 @@ def _evaluate(args, system, eval_ctx):
     return out
 
 
-def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
+def _render_overlay(frame_id, left, frame, dets, system, cfg):
     """Keypoint + detection-box + object-cuboid overlay for one frame."""
     import numpy as np
 
-    from pointslot_tpu.viz.render import (
-        draw_frame, draw_frame_cuboids, save_png,
-    )
+    from pointslot_tpu.viz.render import draw_frame, draw_frame_cuboids
 
-    viz_dir = os.path.join(out_dir, "viz")
-    os.makedirs(viz_dir, exist_ok=True)
     boxes = [(np.asarray(d.bbox), d.track_id) for d in (dets or [])]
     # device-resident fast path keeps feature coords on device; skip the
     # keypoint layer for those frames
@@ -262,6 +281,15 @@ def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
         if cuboids:
             img = draw_frame_cuboids(img, cuboids, cam.fx, cam.fy,
                                      cam.cx, cam.cy)
+    return img
+
+
+def _save_overlay(out_dir, frame_id, left, frame, dets, system, cfg):
+    from pointslot_tpu.viz.render import save_png
+
+    viz_dir = os.path.join(out_dir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    img = _render_overlay(frame_id, left, frame, dets, system, cfg)
     save_png(os.path.join(viz_dir, f"frame_{frame_id:06d}.png"), img)
 
 

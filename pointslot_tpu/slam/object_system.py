@@ -609,11 +609,21 @@ class ObjectSystem:
             jnp.asarray(f_desc), jnp.asarray(f_angle), jnp.asarray(f_valid),
             jnp.asarray(pt_desc), jnp.asarray(pt_angle), jnp.asarray(pt_valid),
         )
+        # the velocity-pose projection supplement (consumed further down)
+        # is independent of the brute result: dispatch it NOW so both
+        # matchers come back in ONE transfer
+        pf0_j = self._proj_batched(
+            jnp.asarray(pt_pos), jnp.asarray(pt_desc), jnp.asarray(pt_valid),
+            jnp.asarray(T_pred, jnp.float32),
+            jnp.asarray(f_xy), jnp.asarray(f_level), jnp.asarray(f_desc),
+            jnp.asarray(f_valid),
+        )
         # one transfer, then host-side slicing (per-object np.asarray is a
         # sync roundtrip per object)
         import jax
 
-        bind_np = np.asarray(jax.device_get(bind_j))
+        bind_np, pf0_np = (np.asarray(x)
+                           for x in jax.device_get((bind_j, pf0_j)))
         binds = [bind_np[oi].astype(np.int64)[: len(fsels[oi])]
                  for oi in range(O)]
 
@@ -689,12 +699,6 @@ class ObjectSystem:
         # SearchByProjection, src/ORBmatcher.cc:157: RADIUS_FORDYNAMIC=5,
         # TH_HIGH_FORDYNAMIC=130) — brute alone degrades on small objects
         # whose descriptors carry background contamination
-        pf0_np = np.asarray(jax.device_get(self._proj_batched(
-            jnp.asarray(pt_pos), jnp.asarray(pt_desc), jnp.asarray(pt_valid),
-            jnp.asarray(T_pred, jnp.float32),
-            jnp.asarray(f_xy), jnp.asarray(f_level), jnp.asarray(f_desc),
-            jnp.asarray(f_valid),
-        )))
         for oi in range(O):
             pf = pf0_np[oi][: len(fsels[oi])]
             bind = binds[oi]

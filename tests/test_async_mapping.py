@@ -66,6 +66,20 @@ def run_objects(async_mapping: bool):
                 for r in frame_rows]
         system.track_stereo(left, right, i * 0.1, i,
                             detections=dets, instance_mask=inst)
+        # bounded-backlog backpressure: the equivalence claim under test
+        # is async-vs-sync agreement when the worker roughly keeps up
+        # (the reference's real-time operating regime). On a loaded CI
+        # box tracking can outrun the mapping worker by many keyframes,
+        # and then BOTH systems legitimately diverge (late BA, and the
+        # InterruptBA gate skips solves under deep backlog — reference
+        # src/LocalMapping.cc:219 behaves the same).
+        if system._mapping_thread is not None:
+            import time as _time
+
+            for _ in range(2000):
+                if system._mapping_queue.qsize() <= 1:
+                    break
+                _time.sleep(0.005)
     system.wait_for_mapping()
     objsys = system._object_system
     system.shutdown()
