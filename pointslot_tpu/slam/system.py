@@ -98,6 +98,8 @@ class System:
         self._mapping_queue = _queue.Queue()
         self._mapping_thread = None
         self._ba_skips = 0   # consecutive InterruptBA skips (capped at 2)
+        self._pending_cam_kfs = 0          # camera KFs waiting in the queue
+        self._pending_cam_lock = threading.Lock()
         if self.cfg.runtime.pipeline_stages:
             from pointslot_tpu.parallel.pipeline import PipelineMapping
 
@@ -166,6 +168,8 @@ class System:
                 )
             self._pipeline.on_new_keyframe(kf)
         elif self._mapping_thread is not None:
+            with self._pending_cam_lock:
+                self._pending_cam_kfs += 1
             self._mapping_queue.put(("camera", kf))
         else:
             self._process_keyframe_sync(kf)
@@ -187,13 +191,17 @@ class System:
         # the same chip. A later KF's BA covers the same covisibility
         # window; to bound starvation when the queue NEVER empties, at
         # most two consecutive keyframes skip (every 3rd always solves).
-        # gate on a DEEP backlog (>= 2 queued), not a single pending item:
-        # one-deep queues are the normal async steady state and skipping
-        # there measurably diverges the map from the sync schedule
-        pending = (
-            self._mapping_thread is not None
-            and self._mapping_queue.qsize() >= 2
-        )
+        # gate on further CAMERA keyframes waiting (the reference's
+        # CheckNewKeyFrames is exactly this). Raw queue size was wrong:
+        # object keyframes share the queue, so steady-state object
+        # traffic starved camera BA and measurably diverged the async
+        # map from the sync schedule.
+        if self._mapping_thread is not None:
+            with self._pending_cam_lock:
+                self._pending_cam_kfs -= 1
+                pending = self._pending_cam_kfs >= 1
+        else:
+            pending = False
         skip = pending and self._ba_skips < 2
         self._ba_skips = self._ba_skips + 1 if skip else 0
         with self.profiler.timer("mapping"):

